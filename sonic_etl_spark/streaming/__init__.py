@@ -1,0 +1,3 @@
+from sonic_etl_spark.streaming.replay import ReplayResult, replay
+
+__all__ = ["replay", "ReplayResult"]

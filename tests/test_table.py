@@ -1,0 +1,139 @@
+"""Transactional-table contract: atomic commits, idempotent manifests,
+LWW merge, schema evolution by field id (SURVEY.md §7.1 M2/M3)."""
+
+import json
+import os
+
+import pytest
+
+from sonic_etl_spark.sources.table import CommitConflict, TransactionalParquetTable
+
+FIELDS = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("content", "string"),
+    ("op", "string"),
+    ("last_offset", "bigint"),
+    ("last_partition_id", "int"),
+]
+KEYS = ["repo", "path"]
+ORDER = ["last_offset", "last_partition_id", "commit"]
+SCHEMA = (
+    "repo string, path string, commit string, content string, op string,"
+    " last_offset bigint, last_partition_id int"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(tab):
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["content"], r["last_offset"])
+        for r in tab.read().collect()
+    }
+
+
+def test_merge_lww_and_idempotency(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+
+    u1 = _df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0),
+                     ("r", "b", "c2" * 20, "w1", "upsert", 2, 0)])
+    assert tab.merge(u1, [(0, 0, 9)], KEYS, ORDER)["status"] == "committed"
+    assert _state(tab)[("r", "a")][1] == "v1"
+
+    # newer offset wins; older offset loses even if applied later
+    u2 = _df(spark, [("r", "a", "c3" * 20, "v2", "upsert", 5, 0)])
+    tab.merge(u2, [(0, 10, 19)], KEYS, ORDER)
+    u3 = _df(spark, [("r", "a", "c4" * 20, "v0-late", "upsert", 3, 0)])
+    tab.merge(u3, [(0, 20, 29)], KEYS, ORDER)
+    assert _state(tab)[("r", "a")] == ("c3" * 20, "v2", 5)
+
+    # idempotent: re-applying a committed range is a no-op
+    res = tab.merge(u1, [(0, 0, 9)], KEYS, ORDER)
+    assert res["status"] == "skipped"
+    assert _state(tab)[("r", "a")] == ("c3" * 20, "v2", 5)
+
+
+def test_tombstone_delete(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]), [(0, 0, 0)], KEYS, ORDER)
+    tab.merge(_df(spark, [("r", "a", "c2" * 20, None, "delete", 2, 0)]), [(0, 1, 1)], KEYS, ORDER)
+    assert ("r", "a") not in _state(tab)
+    # tombstone retained so an older replayed upsert cannot resurrect the key
+    assert tab.read(include_tombstones=True).filter("op = 'delete'").count() == 1
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]), [(0, 2, 2)], KEYS, ORDER)
+    assert ("r", "a") not in _state(tab)
+
+
+def test_partial_bucket_rewrite(spark, tmp_path):
+    """COW granularity: a merge touching one key rewrites only its bucket."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=8)
+    tab.create(FIELDS)
+    many = _df(
+        spark,
+        [("r%d" % i, "p%d" % i, ("c%038d" % i)[:40], "v", "upsert", i, 0) for i in range(200)],
+    )
+    tab.merge(many, [(0, 0, 199)], KEYS, ORDER)
+    assert len(tab.latest()["buckets"]) == 8
+    one = _df(spark, [("r7", "p7", "d" * 40, "v2", "upsert", 1000, 0)])
+    res = tab.merge(one, [(0, 200, 200)], KEYS, ORDER)
+    assert res["buckets_rewritten"] == 1
+    assert tab.read().count() == 200
+    assert _state(tab)[("r7", "p7")][1] == "v2"
+
+
+def test_schema_evolution_add_and_rename(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]), [(0, 0, 0)], KEYS, ORDER)
+
+    tab.evolve(add=[("branch", "string")], rename={"content": "body"})
+    # old files (written pre-evolution) read under the new schema by field id
+    row = tab.read().first()
+    assert row["body"] == "v1" and row["branch"] is None
+
+    # writer still emitting the pre-rename name routes by field id
+    newer = _df(spark, [("r", "a", "c2" * 20, "v2", "upsert", 9, 0)])
+    tab.merge(newer, [(0, 1, 1)], KEYS, ORDER)
+    row = tab.read().first()
+    assert row["body"] == "v2" and row["branch"] is None
+
+    # writer emitting the new name + added column
+    evolved = spark.createDataFrame(
+        [("r", "a", "c3" * 20, "v3", "upsert", 12, 0, "main")],
+        "repo string, path string, commit string, body string, op string,"
+        " last_offset bigint, last_partition_id int, branch string",
+    )
+    tab.merge(evolved, [(0, 2, 2)], KEYS, ORDER)
+    row = tab.read().first()
+    assert row["body"] == "v3" and row["branch"] == "main"
+    # lineage: 5 snapshots (create, 2 merges, evolve, merge)
+    assert len(tab.history()) == 5
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tab.create(FIELDS)
+    snap = tab.latest()
+    stale = dict(snap, snapshot_id=99, parent_id=0)
+    with pytest.raises(CommitConflict):
+        tab._commit_snapshot(stale, expected_parent=0)
+
+
+def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
+    """Orphan snapshot json without the pointer flip must not change reads."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tab.create(FIELDS)
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]), [(0, 0, 0)], KEYS, ORDER)
+    latest_before = tab.latest()["snapshot_id"]
+    # simulate: crash wrote snap json but never flipped _latest.json
+    orphan = dict(tab.latest(), snapshot_id=latest_before + 1, parent_id=latest_before)
+    with open(os.path.join(str(tmp_path / "t"), "_snapshots", f"snap-{orphan['snapshot_id']}.json"), "w") as f:
+        json.dump(orphan, f)
+    assert tab.latest()["snapshot_id"] == latest_before
+    assert tab.read().count() == 1
