@@ -1,0 +1,629 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle per operator.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data-pipeline extension) over the driver's synthetic tables
+(/root/testdata/sf*). The Spark side is the engine's real operator code
+(sonic_etl_spark.operators.*); the oracle is independent ANSI SQL that DuckDB
+runs on the same parquet — the correctness gate.
+
+Cross-engine determinism rules applied throughout (so value-hashes match):
+
+- counts/sizes cast to BIGINT on both sides (Spark ``size``/``length`` are
+  INT, DuckDB's are BIGINT);
+- doubles rounded (2dp for money sums, 4dp ratios, 6dp cosines/jaccard) —
+  both engines round half-away-from-zero for the values produced here;
+- timestamps compared as floor-epoch BIGINT (DuckDB ``epoch()`` keeps
+  fractional seconds and its CAST rounds, Spark's ``unix_timestamp`` floors);
+- portable hashing only (md5/sha2), fixed-width hex min == numeric min;
+- rank/top-k ordering always carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from sonic_etl_spark.operators import audit as audit_ops
+from sonic_etl_spark.operators import dedup as dedup_ops
+from sonic_etl_spark.operators import multimodal as mm_ops
+from sonic_etl_spark.operators import similarity as sim_ops
+from sonic_etl_spark.operators import text as text_ops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STOP_SQL = "['the','a','of','and','to','in']"
+WORDS_SQL = "string_split_regex(trim(text), ' +')"
+NWORDS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    f"ELSE len({WORDS_SQL}) END"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- core
+def q_lww_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O2/ST4: last-writer-wins convergence of the events change feed.
+
+    The flagship shape of the engine: one winning row per key under a total
+    order — ``max_by(payload, order)`` gets map-side partial aggregation
+    (one shuffle, no full sort), exactly the merge-apply reduction
+    (operators/merge.py) on the driver's events table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("event_id"), F.col("event_type"), F.col("value"), F.col("ts")
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("r"))
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("last_event_id"),
+            F.col("r.event_type").alias("last_event_type"),
+            F.round(F.col("r.value"), 2).alias("last_value"),
+            F.unix_timestamp(F.col("r.ts")).alias("last_ts_epoch"),
+        )
+    )
+
+
+SQL_LWW = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_gap_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/O4/O5: dense-domain anti-join gap detection (backfill audit)."""
+    present = _t(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    return audit_ops.missing_ids(spark, present, "event_id")
+
+
+SQL_GAP = """
+WITH present AS (SELECT event_id FROM events WHERE event_type <> 'error'),
+b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM present),
+dom AS (SELECT unnest(generate_series(lo, hi)) AS missing_id FROM b)
+SELECT missing_id FROM dom
+WHERE missing_id NOT IN (SELECT event_id FROM present)
+"""
+
+
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: consecutive missing offsets grouped to (start,end) runs."""
+    missing = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("event_id")
+    )
+    return audit_ops.islands(missing, "event_id")
+
+
+SQL_ISLANDS = """
+WITH m AS (SELECT event_id FROM events WHERE event_type = 'error'),
+g AS (SELECT event_id, event_id - row_number() OVER (ORDER BY event_id) AS grp FROM m)
+SELECT min(event_id) AS run_start, max(event_id) AS run_end, count(*) AS run_len
+FROM g GROUP BY grp
+"""
+
+
+def q_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J3: parent/child row-count invariant profile (orders↔lineitem)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    prof = audit_ops.parent_child_count_check(orders, li, "o_orderkey")
+    return prof.groupBy(F.col("n_children").alias("n_items")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_PARENT_CHILD = """
+WITH c AS (
+  SELECT o.o_orderkey, count(l.l_orderkey) AS n_items
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1)
+SELECT n_items, count(*) AS n_orders FROM c GROUP BY 1
+"""
+
+
+def q_seg_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: dim-enrichment joins (broadcast) + revenue aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_SEG_REV = """
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: 30-minute tumbling-window aggregation (GCS half-hour bucketing)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TIME_BUCKETS = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT) AS bucket_epoch,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: deterministic top-k per group (dedup pick-one upgraded)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderpriority,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk,
+       o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+def q_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T9: hex-quantity encode + checked decode (conv), the raw-payload
+    numeric convention of the reference (common.rs:132-146)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    hex_str = F.lower(F.hex(F.col("event_id")))
+    return ev.select(
+        "event_id",
+        hex_str.alias("hex_str"),
+        F.conv(hex_str, 16, 10).cast("long").alias("decoded"),
+    )
+
+
+SQL_HEX = """
+SELECT event_id, lower(to_hex(event_id)) AS hex_str, event_id AS decoded
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+def q_typed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/T11: capped+lossless dual columns and checked integer narrowing
+    (cap_bignumeric common.rs:148-160; TryIntoInteger bq/integer.rs:83-152)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cap = F.lit(30000.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.least(F.col("l_extendedprice"), cap), 2).alias("value_capped"),
+        (F.col("l_extendedprice") > cap).alias("is_capped"),
+        F.round(F.col("l_extendedprice"), 2).alias("value_lossless"),
+        F.when(
+            F.col("l_quantity") == F.floor(F.col("l_quantity")),
+            F.col("l_quantity").cast("long"),
+        ).alias("qty_long"),
+    )
+
+
+SQL_TYPED = """
+SELECT l_orderkey, l_linenumber,
+       round(least(l_extendedprice, 30000.0), 2) AS value_capped,
+       l_extendedprice > 30000.0 AS is_capped,
+       round(l_extendedprice, 2) AS value_lossless,
+       CASE WHEN l_quantity = floor(l_quantity)
+            THEN CAST(l_quantity AS BIGINT) END AS qty_long
+FROM lineitem
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: JSON payload decode (args_to_json analog) + per-type aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+SQL_JSON = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5: per-key counters (decoded-event-count / tx-count analogs)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_clicks"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
+    )
+
+
+SQL_USER_ACTIVITY = """
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+       round(sum(value), 2) AS total_value,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- text
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_ops.quality_features(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+    )
+
+
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       {NWORDS_SQL} AS n_words,
+       round(length(regexp_replace(text, ' ', '', 'g'))
+             / greatest({NWORDS_SQL}, 1), 4) AS avg_word_len,
+       round(len(list_filter({WORDS_SQL}, x -> list_contains({STOP_SQL}, x)))
+             / greatest({NWORDS_SQL}, 1), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.word_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text_ops.token_count_regex(F.col("text")).cast("long").alias("n_regex_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       {NWORDS_SQL} AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_ops.language_id(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "lang_pred", F.col("marker_hits").cast("long").alias("marker_hits")
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(text_ops.LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        markers = "[" + ",".join(f"'{m}'" for m in text_ops.LANG_MARKERS[lang]) + "]"
+        score_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({markers}, x))) AS s_{lang}"
+        )
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    # tie-break = first lang (ascending) among max scores → CASE in sorted order
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH t AS (SELECT doc_id, {WORDS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest({all_scores}) = 0 THEN 'unknown'
+            {' '.join(cases)} END AS lang_pred,
+       greatest({all_scores}) AS marker_hits
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_sha256,
+       substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 16) AS fp_md5_64
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- dedup
+SHINGLES_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
+  )
+)
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT sha256(text) AS content_sha256, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), top_k=20
+    )
+
+
+SQL_NGRAM_PAIRS = f"""
+WITH {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_ops.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup_ops.lsh_band_buckets(sig)
+
+
+def _minhash_sql() -> str:
+    k, bands = dedup_ops.MINHASH_K, dedup_ops.LSH_BANDS
+    rpb = k // bands
+    mh_cols = ", ".join(
+        f"min(substr(md5('{j}:' || shingle), 1, 15)) AS mh{j}" for j in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh"
+        )
+    return f"""
+WITH {SHINGLES_SQL},
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id)
+{' UNION ALL '.join(band_selects)}
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        "sum(CASE WHEN strpos('89abcdef', substr(h, {p}, 1)) > 0 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+"""
+
+
+# --------------------------------------------------------------- similarity
+COS_SQL = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+SQL_EMB_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {COS_SQL} AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+def q_emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.top_pairs(_t(spark, sf_dir, "embeddings"), top_k=50)
+
+
+SQL_EMB_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
+"""
+
+
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def _ann_buckets_sql() -> str:
+    terms = []
+    for p, row in enumerate(sim_ops.PLANES):
+        arr = "[" + ",".join(f"{float(x):.1f}" for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return (
+        "SELECT vec_id, CAST(" + " + ".join(terms) + " AS INTEGER) AS bucket "
+        "FROM embeddings"
+    )
+
+
+# --------------------------------------- non-SQL-expressible (rows-only)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+
+    Rows-only check: the mapInPandas codec stage has no SQL equivalent; its
+    determinism is covered by tests/test_multimodal.py goldens.
+    """
+    media = mm_ops.attach_media(_t(spark, sf_dir, "documents"))
+    return mm_ops.extract_features(media).select(
+        "doc_id", "media_type", "n_bytes", "feat_checksum"
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via single-probe LSH buckets (recall<1 by design → rows-only;
+    exactness of the underlying cosine is covered by emb_topk)."""
+    return sim_ops.ann_topk_lsh(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC engine end-to-end on a synthesized change log:
+    synthesize → plan → decode → salted LWW reduce → idempotent MERGE →
+    converged table state. Input is engine-synthesized (deterministic,
+    seed=42), so no DuckDB oracle exists; convergence invariants are
+    pytest-verified (tests/test_replay.py)."""
+    import tempfile
+
+    from sonic_etl_spark.log.synthesis import synthesize_change_events
+    from sonic_etl_spark.sources.table import TransactionalParquetTable
+    from sonic_etl_spark.streaming.replay import replay
+
+    log = synthesize_change_events(spark, 20_000, n_partitions=4).cache()
+    tbl = TransactionalParquetTable(
+        spark, tempfile.mkdtemp(prefix="cdc_replay_"), n_buckets=8
+    )
+    replay(log, tbl, chunk_size=2000, validate=False)
+    log.unpersist()
+    return tbl.read().select(
+        "repo", "path", "commit", "lang", "content_sha256", "size_bytes",
+        "last_offset", "last_partition_id",
+    )
+
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    # CDC / SURVEY §2 core
+    "lww_converge": (q_lww_converge, SQL_LWW),
+    "gap_missing": (q_gap_missing, SQL_GAP),
+    "gap_islands": (q_gap_islands, SQL_ISLANDS),
+    "parent_child_counts": (q_parent_child, SQL_PARENT_CHILD),
+    "seg_nation_revenue": (q_seg_nation_revenue, SQL_SEG_REV),
+    "time_buckets_30m": (q_time_buckets, SQL_TIME_BUCKETS),
+    "topk_per_group": (q_topk_orders, SQL_TOPK_ORDERS),
+    "hex_roundtrip": (q_hex_roundtrip, SQL_HEX),
+    "typed_transform_dual": (q_typed_transform, SQL_TYPED),
+    "json_props_decode": (q_json_props, SQL_JSON),
+    "user_activity": (q_user_activity, SQL_USER_ACTIVITY),
+    # text analysis
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "lang_id": (q_lang_id, _lang_id_sql()),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # dedup
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),
+    "minhash_lsh_buckets": (q_minhash_buckets, _minhash_sql()),
+    "simhash16": (q_simhash, _simhash_sql()),
+    # similarity
+    "emb_cosine_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_PAIRS),
+    "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
+    # rows-only (non-SQL-expressible)
+    "multimodal_features": (q_multimodal_features, None),
+    "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "cdc_replay_converged": (q_cdc_replay, None),
+}

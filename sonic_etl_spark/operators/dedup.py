@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline dedup over the ``documents`` table, Spark-first:
+
+- **exact**: hash-groupBy on sha256(text) — one shuffle on the hash key.
+- **n-gram Jaccard**: 3-word shingles → explode → self-join on shingle →
+  |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the scalable path: candidate
+  pairs only materialize where shingles actually collide (vs. the O(n²)
+  cross join a naive cosine/jaccard would need).
+- **MinHash**: k portable hash functions H_j(s) = md5(j ':' s); the
+  signature keeps the lexicographic min of the fixed-width hex digests
+  (hex min == numeric min at fixed width, so the oracle can reproduce it
+  without 128-bit ints). LSH bands group signature rows so that near-dups
+  collide in ≥1 band bucket — the classic shingle→minhash→band→bucket-join.
+- **SimHash**: 16-bit variant; bit b of a token's md5 is the high bit of hex
+  nibble b, contribution ±1, document bit = sign of the sum. Portable to SQL
+  (strpos into '89abcdef') so DuckDB can verify it.
+
+Everything is built-in column functions — no Python UDFs — so at 100 TB the
+only costs are the explode fan-out (bounded: ~n_words shingles/doc) and one
+shuffle per groupBy. MinHash constants k=8, bands=4 keep signatures tiny;
+raise k for tighter similarity estimates at scale.
+
+Reference parity: the reference's dedup is key-based MERGE
+(daily_qc_airflow/daily_dedupe_mainnet.py:26-81); content-similarity dedup is
+the training-data extension required by the task brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 2
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word-level n-gram shingles as an array<string> (distinct not applied).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` counts *down*, so the
+    < n-token case must return an empty array explicitly.
+    """
+    toks = F.split(F.trim(text_col), " +")
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: one row per distinct content hash."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_sha256"), "doc_id")
+        .groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct — the join key for Jaccard/MinHash."""
+    return (
+        df.select("doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, top_k: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity via shingle co-occurrence join.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b. With ``top_k``, keeps
+    the k most-similar pairs (ties broken by (doc_a, doc_b)); with
+    ``threshold``, keeps pairs ≥ threshold.
+    """
+    sh = doc_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_shingles", "sz_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    if top_k is not None:
+        out = (
+            out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top_k)
+        )
+    return out
+
+
+def _minhash_cols(k: int = MINHASH_K) -> list[Column]:
+    """k portable min-hash aggregate columns over an exploded shingle column."""
+    return [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15)).alias(
+            f"mh{j}"
+        )
+        for j in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """Per-doc MinHash signature (k fixed-width hex min-hashes)."""
+    return doc_shingles(df, text_col, n).groupBy("doc_id").agg(*_minhash_cols(k))
+
+
+def lsh_band_buckets(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bucket) rows: bucket = md5 of the band's signature slice."""
+    rows_per_band = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup candidates: pairs sharing ≥1 band bucket."""
+    buckets = lsh_band_buckets(minhash_signatures(df, text_col))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens.
+
+    bit b of token t = high bit of hex nibble b of md5(t); document bit b is
+    1 iff sum over tokens of (2*bit - 1) > 0. Ties (sum == 0) → 0.
+    """
+    toks = (
+        df.select("doc_id", F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    contribs = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), b + 1, 1).isin(list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*contribs)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

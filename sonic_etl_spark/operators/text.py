@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines.
+
+These are the document-table analogs of the reference's per-row typed
+transform (extractor_transformer/src/sonic_config/transformation/common.rs):
+pure column expressions, JVM-side, whole-stage-codegen friendly — no Python
+in the hot path. Each operator is usable standalone and is exposed through
+``__spark_entry__.queries()`` with a DuckDB oracle.
+
+Scale notes (100 TB): every function here is a narrow map — no shuffle, no
+UDF, so it runs at parquet scan speed and parallelizes embarrassingly. The
+only wide op in this module is ``language_id``'s none (it is also narrow).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# deterministic marker lexicons for the n-gram/stopword language heuristic.
+# (The reference's analog of a static decode catalog: events/erc.rs:13-187 —
+# a fixed table of signatures compiled into the engine.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "value", "fast"],
+    "de": ["der", "und", "nicht", "ist"],
+    "fr": ["le", "et", "les", "des"],
+    "es": ["el", "y", "los", "las"],
+    "zh": ["de", "shi", "bu", "le"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or single
+# non-alphanumeric-non-space chars (a common pre-tokenization split).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens (empty-string safe)."""
+    return F.split(F.trim(col), " +")
+
+
+def word_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(words(col))
+    )
+
+
+def token_count_regex(col: Column) -> Column:
+    """Token count under the BPE-ish regex split."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] = STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords, 4dp."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(words(col), lambda w: F.array_contains(sw, w)))
+    return F.round(n_sw / F.greatest(word_count(col), F.lit(1)), 4)
+
+
+def avg_word_len(col: Column) -> Column:
+    """Mean token length, 4dp: (chars excluding spaces) / word_count."""
+    chars = F.length(F.regexp_replace(col, " ", ""))
+    return F.round(chars / F.greatest(word_count(col), F.lit(1)), 4)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space, 4dp."""
+    n_punct = F.length(F.regexp_replace(col, "[a-zA-Z0-9 ]", ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features (length / punct / stopword)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        word_count(t).alias("n_words"),
+        avg_word_len(t).alias("avg_word_len"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID.
+
+    Scores each language by the count of its marker words among the
+    document's tokens; predicts the max-scoring language, ties broken by
+    language code ascending, all-zero → 'unknown'. Deterministic by
+    construction so the DuckDB oracle can reproduce it exactly.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # max_by over (score, -lang) — implement tie-break as min lang among max
+    # score via array sort: sort by score desc then lang asc, take first.
+    arr = F.array(*scores)
+    best = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .when(a["lang"] < b["lang"], F.lit(-1))
+        .when(a["lang"] > b["lang"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )[0]
+    return df.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+        best["score"].alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: sha256 + md5-64 of whitespace-normalized text.
+
+    The content-hash invariant of the engine (BASELINE.json input_hint:
+    per-row content sha256 equality) applied to the documents table.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+    return df.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.substring(F.md5(norm), 1, 16).alias("fp_md5_64"),
+    )

@@ -215,6 +215,7 @@ class TransactionalParquetTable:
         key_cols: list[str],
         order_cols: list[str],
         metrics: dict | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> dict:
         """MERGE INTO with LWW ordering and an idempotent manifest commit.
 
@@ -222,6 +223,13 @@ class TransactionalParquetTable:
         caller; see operators.merge.reduce_batch). Returns a status dict.
         Skips (no-op) if every manifest entry is already committed — the
         exactly-once guard (ST3 upgrade, SURVEY.md §2.8).
+
+        ``affected_buckets``: the COW bucket ids this batch touches. Pass it
+        when the caller can compute it cheaply from the *raw* batch (a
+        column-pruned scan of the key columns — see streaming.replay);
+        deriving it here would run the full decode→reduce lineage twice
+        (persisting the reduced batch instead was measured 5-20× slower than
+        recomputing — wide string rows cache terribly).
         """
         t0 = time.time()
         parent = self.latest()
@@ -259,7 +267,12 @@ class TransactionalParquetTable:
                 proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
         updates = updates.select(*proj).withColumn("_bucket", _bucket_expr(self.n_buckets))
 
-        affected = [r["_bucket"] for r in updates.select("_bucket").distinct().collect()]
+        if affected_buckets is not None:
+            affected = list(affected_buckets)
+        else:
+            affected = [
+                r["_bucket"] for r in updates.select("_bucket").distinct().collect()
+            ]
         old = self._read_buckets(parent, [str(b) for b in affected]).withColumn(
             "_bucket", _bucket_expr(self.n_buckets)
         )

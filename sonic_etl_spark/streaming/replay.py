@@ -24,6 +24,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from sonic_etl_spark.functions.codec import decode_change_events
@@ -85,12 +86,29 @@ def replay(
         else:
             n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
         updates = reduce_batch(typed, salt_buckets=salt_buckets)
+        # affected-bucket probe over the RAW batch: parquet column pruning
+        # reads only (repo, path), no JSON decode — so the expensive
+        # decode→reduce lineage is evaluated exactly once (by the merge
+        # write), not per probe.
+        affected = [
+            r["_b"]
+            for r in raw.select(
+                F.pmod(F.xxhash64("repo", "path"), F.lit(table.n_buckets))
+                .cast("int")
+                .alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
         bm = {
             "batch_index": i,
             "manifest": [list(m) for m in manifest],
             "rows": n_rows,
         }
-        status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
+        status = table.merge(
+            updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm,
+            affected_buckets=affected,
+        )
         bm["elapsed_sec"] = round(time.time() - bt0, 3)
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]
