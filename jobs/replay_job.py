@@ -1,0 +1,85 @@
+"""spark-submit entry point: resumable change-log replay into the converged
+source_code table.
+
+Packaging (north rule: "packaged for spark-submit --py-files"):
+
+    cd /root/repo && zip -qr /tmp/sonic_etl_spark.zip sonic_etl_spark
+    spark-submit --py-files /tmp/sonic_etl_spark.zip jobs/replay_job.py \
+        --log /path/to/change_events_parquet \
+        --table /path/to/converged_table \
+        --chunk-size 100000 --salt-buckets 32 --n-buckets 64
+
+On a real cluster the same invocation gains ``--master yarn``/``--deploy-mode
+cluster`` etc.; the job itself is master-agnostic (SparkSession comes from
+spark-submit's conf when present). Resumption is automatic: already-committed
+(partition, offset-range) manifests are skipped (idempotent-commit guard),
+so re-running after a crash continues where the last transactional snapshot
+left off — the analog of the reference coordinator's
+pick_up_from_previous_run (indexing_coordinator/publish_ranges.py:148-203)
+without a separate resumption channel.
+
+A graceful-shutdown file (``--stop-file``) mirrors the reference's SIGTERM
+flag checked between messages (src/sonic_config/mod.rs:70-98): touch the file
+and the loop exits after the in-flight batch commits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--log", required=True, help="change_events parquet path")
+    ap.add_argument("--table", required=True, help="converged table directory")
+    ap.add_argument("--chunk-size", type=int, default=100_000)
+    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip fail-the-batch decode validation")
+    ap.add_argument("--stop-file", default=None,
+                    help="graceful shutdown: stop after current batch if this file exists")
+    args = ap.parse_args()
+
+    from sonic_etl_spark.session import get_spark
+    from sonic_etl_spark.sources import TransactionalParquetTable
+    from sonic_etl_spark.streaming import replay
+
+    spark = get_spark("cdc-replay")
+    log = spark.read.parquet(args.log)
+    table = TransactionalParquetTable(spark, args.table, n_buckets=args.n_buckets)
+
+    stop = (
+        (lambda: os.path.exists(args.stop_file)) if args.stop_file else None
+    )
+    res = replay(
+        log,
+        table,
+        chunk_size=args.chunk_size,
+        salt_buckets=args.salt_buckets,
+        max_batches=args.max_batches,
+        validate=not args.no_validate,
+        stop_requested=stop,
+    )
+    print(
+        json.dumps(
+            {
+                "batches_applied": res.batches_applied,
+                "batches_skipped": res.batches_skipped,
+                "rows_seen": res.rows_seen,
+                "elapsed_sec": res.elapsed_sec,
+                "events_per_sec": res.events_per_sec,
+                "snapshot": table.latest()["snapshot_id"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

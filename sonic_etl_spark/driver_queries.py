@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from sonic_etl_spark.functions import catalog as catalog_ops
 from sonic_etl_spark.operators import audit as audit_ops
 from sonic_etl_spark.operators import dedup as dedup_ops
 from sonic_etl_spark.operators import multimodal as mm_ops
@@ -392,6 +393,47 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# catalog entries for the driver's document languages (the testdata analog of
+# the static ABI catalog, erc.rs:13-187); 'zh' is deliberately absent → its
+# rows decode-miss to NULL (NotFound semantics, generic.rs:5-31 / common.rs:484).
+_DOC_CATALOG = catalog_ops.LangCatalog(
+    [
+        catalog_ops.LangSpec("en", "th"),
+        catalog_ops.LangSpec("de", "de"),
+        catalog_ops.LangSpec("fr", "le"),
+        catalog_ops.LangSpec("es", "el"),
+    ]
+)
+
+
+def q_catalog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3: catalog-keyed decode with miss-skip semantics — marker lookup
+    by lang, decode applied as a token-prefix count, miss → NULL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        _DOC_CATALOG.comment_marker_col(F.col("lang")).alias("marker"),
+        _DOC_CATALOG.count_comment_lines(F.col("text"), F.col("lang")).alias(
+            "n_marked"
+        ),
+    )
+
+
+def _catalog_decode_sql() -> str:
+    marker_cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_DOC_CATALOG.get(lang).comment_marker}'"
+        for lang in _DOC_CATALOG.langs
+    )
+    return f"""
+WITH m AS (SELECT doc_id, lang, text, CASE {marker_cases} END AS marker FROM documents)
+SELECT doc_id, lang, marker,
+       CASE WHEN marker IS NULL THEN NULL
+            ELSE len(list_filter({WORDS_SQL}, x -> starts_with(x, marker))) END AS n_marked
+FROM m
+"""
+
+
 SQL_FINGERPRINT = """
 SELECT doc_id,
        sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_sha256,
@@ -613,6 +655,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, _lang_id_sql()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
     # dedup
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),

@@ -1,4 +1,4 @@
-"""Transactional parquet table — Iceberg-shaped sink fallback.
+"""Transactional parquet table — Iceberg-shaped sink fallback (merge-on-read).
 
 The north rule requires idempotent commits keyed by a (partition,
 offset-range) manifest, MERGE INTO upserts, and schema-id-aware evolution.
@@ -9,12 +9,16 @@ same *contract* on plain parquet (SURVEY.md §7.0/§7.3 hard part 1):
   atomically-replaced ``_latest.json`` pointer (``os.rename`` is atomic on
   POSIX). A crash between data write and pointer flip leaves only orphan
   files; the batch replays idempotently.
-- **Bucket-level copy-on-write**: table data lives in buckets keyed by
+- **Merge-on-read buckets**: table data lives in buckets keyed by
   ``hash(repo, path) % n_buckets`` (the merge key, so upserts are co-located
-  and hot repos spread across buckets by path). A MERGE rewrites only the
-  buckets that received updates; untouched buckets are referenced from the
-  parent snapshot — exactly Iceberg's COW granularity, at bucket instead of
-  file level.
+  and hot repos spread across buckets by path). A MERGE *appends* one delta
+  file per affected bucket — writes are O(batch), never O(table) — and the
+  reader resolves last-writer-wins across a bucket's base+delta files.
+  ``compact()`` folds a bucket's files back to one. This is exactly Iceberg's
+  merge-on-read (equality deletes + data files, maintenance compaction);
+  the earlier copy-on-write formulation rewrote every affected bucket per
+  batch, i.e. the whole table per batch under uniform updates — measured
+  ~2× the entire pipeline compute at 10M events and fatal at 10^10.
 - **Idempotent commit manifest**: each snapshot carries the cumulative set of
   committed (partition_id, offset_start, offset_end) ranges. ``merge``
   refuses ranges already committed — at-least-once delivery upstream becomes
@@ -22,21 +26,25 @@ same *contract* on plain parquet (SURVEY.md §7.0/§7.3 hard part 1):
   append-then-nightly-MERGE convergence, daily_dedupe_mainnet.py:26-81, and
   its ack-after-publish duplicate window, mod.rs:140-164).
 - **Schema evolution by field id**: snapshots record ``{id, name, type}`` per
-  column; bucket files remember the schema id they were written under, and
+  column; every data file remembers the schema id it was written under, and
   the reader renames/backfills columns by field id — Iceberg's
   add/rename-safe semantics (reference has only hand-reserved proto field
   numbers, schemas/proto/blocks.proto:144-146).
 
 LWW semantics: the merged state for a key is the row with the maximum
-``(offset, partition_id, commit)`` among all events ever applied plus the
-current state. max is associative, commutative and idempotent, so replays,
-overlapping ranges and duplicate redelivery all converge to byte-identical
-state regardless of batching — the formal version of the reference's
-natural-key convergence triple (SURVEY.md §0).
+``(offset, partition_id, commit)`` among all events ever applied. max is
+associative, commutative and idempotent, so replays, overlapping ranges,
+duplicate redelivery, and any base/delta file layout all converge to
+byte-identical state regardless of batching — the formal version of the
+reference's natural-key convergence triple (SURVEY.md §0). Delete tombstones
+are ordinary rows (op='delete') filtered at read and retained through
+compaction, so a late-arriving lower-order upsert can never resurrect a key.
 
 At 100 TB: buckets become Iceberg partitions (``bucket(N, repo||path)``),
-the snapshot json becomes the Iceberg metadata tree, and the pointer flip
-becomes a catalog swap. Nothing in the engine above this module would change.
+delta files become Iceberg data files with sequence numbers, the snapshot
+json becomes the Iceberg metadata tree, the pointer flip becomes a catalog
+swap, and ``compact`` becomes rewrite_data_files. Nothing in the engine
+above this module would change.
 """
 
 from __future__ import annotations
@@ -53,9 +61,27 @@ LATEST = "_latest.json"
 SNAP_DIR = "_snapshots"
 DATA_DIR = "data"
 
+DEFAULT_KEY_COLS = ["repo", "path"]
+DEFAULT_ORDER_COLS = ["last_offset", "last_partition_id", "commit"]
+
 
 def _bucket_expr(n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+
+
+def _lww_reduce(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """One winning row per key: max_by over the total order (map-side partial
+    aggregation; no row_number/full-sort shuffle)."""
+    payload = [c for c in df.columns if c not in key_cols]
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("_r")
+        )
+        .select(*key_cols, "_r.*")
+    )
 
 
 class CommitConflict(Exception):
@@ -113,8 +139,17 @@ class TransactionalParquetTable:
         os.rename(tmp, self._latest_path())  # atomic on POSIX
 
     # ---------------------------------------------------------------- create
-    def create(self, fields: list[tuple[str, str]]) -> dict:
-        """Create the table with an empty snapshot. fields = [(name, ddl_type)]."""
+    def create(
+        self,
+        fields: list[tuple[str, str]],
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
+    ) -> dict:
+        """Create the table with an empty snapshot. fields = [(name, ddl_type)].
+
+        ``key_cols``/``order_cols`` define the MERGE identity and LWW total
+        order; the reader needs them to resolve state across delta files.
+        """
         if self.latest() is not None:
             return self.latest()
         schema = {
@@ -129,6 +164,8 @@ class TransactionalParquetTable:
             "schemas": [schema],
             "current_schema_id": 0,
             "n_buckets": self.n_buckets,
+            "key_cols": key_cols or DEFAULT_KEY_COLS,
+            "order_cols": order_cols or DEFAULT_ORDER_COLS,
             "buckets": {},
             "manifests": [],
             "metrics": {},
@@ -153,28 +190,33 @@ class TransactionalParquetTable:
         return self.spark.createDataFrame([], ddl)
 
     def read(self, snap: dict | None = None, include_tombstones: bool = False) -> DataFrame:
-        """Current table state, projected to the current schema (field-id aware)."""
+        """Current converged state: union of base+delta files projected to the
+        current schema (field-id aware), LWW-reduced per key (merge-on-read).
+        """
         snap = snap or self.latest()
         if snap is None:
             raise FileNotFoundError(f"table {self.path} does not exist")
         df = self._read_buckets(snap, list(snap["buckets"].keys()))
+        df = _lww_reduce(df, snap["key_cols"], snap["order_cols"])
         if not include_tombstones and "op" in df.columns:
             df = df.filter(F.col("op") != F.lit("delete"))
         return df
 
     def _read_buckets(self, snap: dict, bucket_ids: list[str]) -> DataFrame:
+        """Raw (pre-LWW) rows of the given buckets under the current schema."""
         cur = self._current_schema(snap)
         cur_names = [f["name"] for f in cur["fields"]]
         if not bucket_ids:
             return self._empty_df(snap)
-        # group bucket entries by the schema they were written under, rename
+        # group data files by the schema they were written under; rename
         # columns by field id to current names, backfill added columns
         by_schema: dict[int, list[str]] = {}
         for b in bucket_ids:
             ent = snap["buckets"].get(str(b))
             if ent is None:
                 continue
-            by_schema.setdefault(ent["schema_id"], []).extend(ent["paths"])
+            for fent in ent["files"]:
+                by_schema.setdefault(fent["schema_id"], []).append(fent["path"])
         parts = []
         for schema_id, rels in by_schema.items():
             if not rels:
@@ -207,53 +249,15 @@ class TransactionalParquetTable:
     def is_committed(self, partition_id: int, start: int, end: int) -> bool:
         return (partition_id, start, end) in self.committed_ranges()
 
-    # ----------------------------------------------------------------- merge
-    def merge(
-        self,
-        updates: DataFrame,
-        manifest_entries: list[tuple[int, int, int]],
-        key_cols: list[str],
-        order_cols: list[str],
-        metrics: dict | None = None,
-        affected_buckets: list[int] | None = None,
-    ) -> dict:
-        """MERGE INTO with LWW ordering and an idempotent manifest commit.
-
-        ``updates`` must already be one-row-per-key (in-batch reduced by the
-        caller; see operators.merge.reduce_batch). Returns a status dict.
-        Skips (no-op) if every manifest entry is already committed — the
-        exactly-once guard (ST3 upgrade, SURVEY.md §2.8).
-
-        ``affected_buckets``: the COW bucket ids this batch touches. Pass it
-        when the caller can compute it cheaply from the *raw* batch (a
-        column-pruned scan of the key columns — see streaming.replay);
-        deriving it here would run the full decode→reduce lineage twice
-        (persisting the reduced batch instead was measured 5-20× slower than
-        recomputing — wide string rows cache terribly).
-        """
-        t0 = time.time()
-        parent = self.latest()
-        if parent is None:
-            raise FileNotFoundError(f"table {self.path} does not exist; create() first")
-        committed = {tuple(m) for m in parent["manifests"]}
-        entries = [tuple(e) for e in manifest_entries]
-        fresh = [e for e in entries if e not in committed]
-        if not fresh:
-            return {"status": "skipped", "snapshot_id": parent["snapshot_id"]}
-        if len(fresh) != len(entries):
-            # partial overlap: re-applying the whole batch is still correct
-            # (max-merge is idempotent) but we only record the fresh ranges.
-            pass
-
-        # schema-id-aware writer: project updates to the *current* schema,
-        # backfilling columns the producer doesn't know yet (north rule:
-        # added/renamed columns replayed mid-stream must route correctly).
-        cur = self._current_schema(parent)
-        cur_names = [f["name"] for f in cur["fields"]]
-        # names each field id has ever had, newest schema first — lets a
-        # producer still emitting a pre-rename column name route correctly
+    # ------------------------------------------------------------ projection
+    def _project_to_current(self, snap: dict, updates: DataFrame) -> DataFrame:
+        """Schema-id-aware writer projection: route the producer's columns to
+        the current schema by field id, accepting historical (pre-rename)
+        names and backfilling unknown-to-producer columns (north rule:
+        added/renamed columns replayed mid-stream must route correctly)."""
+        cur = self._current_schema(snap)
         historical: dict[int, list[str]] = {}
-        for sch in sorted(parent["schemas"], key=lambda s: -s["schema_id"]):
+        for sch in sorted(snap["schemas"], key=lambda s: -s["schema_id"]):
             for f in sch["fields"]:
                 historical.setdefault(f["id"], [])
                 if f["name"] not in historical[f["id"]]:
@@ -265,56 +269,78 @@ class TransactionalParquetTable:
                 proj.append(F.col(src).cast(f["type"]).alias(f["name"]))
             else:
                 proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-        updates = updates.select(*proj).withColumn("_bucket", _bucket_expr(self.n_buckets))
+        return updates.select(*proj)
 
-        if affected_buckets is not None:
-            affected = list(affected_buckets)
-        else:
-            affected = [
-                r["_bucket"] for r in updates.select("_bucket").distinct().collect()
-            ]
-        old = self._read_buckets(parent, [str(b) for b in affected]).withColumn(
-            "_bucket", _bucket_expr(self.n_buckets)
-        )
-        old = old.filter(F.col("_bucket").isin(affected))
+    def _write_bucket_files(
+        self, snap_id: int, df: DataFrame, n_partitions: int
+    ) -> tuple[str, list[str]]:
+        """Write df (already projected) bucket-partitioned under data/snap-N.
 
-        # LWW: keep the max-order row per key among old state ∪ updates.
-        # max_by gets map-side partial aggregation from Catalyst — no
-        # row_number/full-sort shuffle (SURVEY.md §2.4 A7 upgrade).
-        merged = (
-            old.unionByName(updates)
-            .groupBy(*key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*[c for c in cur_names + ["_bucket"] if c not in key_cols]),
-                    F.struct(*[F.col(c) for c in order_cols]),
-                ).alias("_row")
-            )
-            .select(*key_cols, "_row.*")
-        )
-
-        new_id = parent["snapshot_id"] + 1
-        rel = os.path.join(DATA_DIR, f"snap-{new_id}")
+        Returns (rel_dir, bucket_ids_written). ``_pb`` is the partition
+        directory column only — parquet files contain exactly the schema
+        columns.
+        """
+        rel = os.path.join(DATA_DIR, f"snap-{snap_id}")
         out_dir = os.path.join(self.path, rel)
         (
-            merged.withColumn("_pb", F.col("_bucket"))
-            .repartition(max(len(affected), 1), F.col("_bucket"))
+            df.withColumn("_pb", _bucket_expr(self.n_buckets))
+            .repartition(n_partitions, F.col("_pb"))
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(out_dir)
         )
+        written = [
+            name.split("=", 1)[1]
+            for name in os.listdir(out_dir)
+            if name.startswith("_pb=")
+        ]
+        return rel, written
 
-        buckets = dict(parent["buckets"])
-        written = 0
-        for name in os.listdir(out_dir):
-            if not name.startswith("_pb="):
-                continue
-            b = name.split("=", 1)[1]
-            buckets[b] = {
-                "paths": [os.path.join(rel, name)],
-                "schema_id": parent["current_schema_id"],
-            }
-            written += 1
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        updates: DataFrame,
+        manifest_entries: list[tuple[int, int, int]],
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """MERGE INTO with LWW ordering and an idempotent manifest commit.
+
+        ``updates`` must already be one-row-per-key (in-batch reduced by the
+        caller; see operators.merge.reduce_batch). Merge-on-read: appends one
+        delta file per affected bucket — O(batch) writes; the reader resolves
+        LWW across files. Returns a status dict. Skips (no-op) if every
+        manifest entry is already committed — the exactly-once guard (ST3
+        upgrade, SURVEY.md §2.8).
+        """
+        t0 = time.time()
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table {self.path} does not exist; create() first")
+        committed = {tuple(m) for m in parent["manifests"]}
+        entries = [tuple(e) for e in manifest_entries]
+        fresh = [e for e in entries if e not in committed]
+        if not fresh:
+            return {"status": "skipped", "snapshot_id": parent["snapshot_id"]}
+        # partial overlap: re-applying the whole batch is still correct
+        # (max-merge is idempotent); only the fresh ranges are recorded.
+
+        new_id = parent["snapshot_id"] + 1
+        projected = self._project_to_current(parent, updates)
+        rel, written = self._write_bucket_files(
+            new_id, projected, n_partitions=max(self.n_buckets, 1)
+        )
+
+        buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
+        for b in written:
+            ent = buckets.setdefault(b, {"files": []})
+            ent["files"] = ent["files"] + [
+                {
+                    "path": os.path.join(rel, f"_pb={b}"),
+                    "schema_id": parent["current_schema_id"],
+                }
+            ]
 
         snap = {
             "snapshot_id": new_id,
@@ -322,9 +348,11 @@ class TransactionalParquetTable:
             "schemas": parent["schemas"],
             "current_schema_id": parent["current_schema_id"],
             "n_buckets": self.n_buckets,
+            "key_cols": key_cols or parent["key_cols"],
+            "order_cols": order_cols or parent["order_cols"],
             "buckets": buckets,
             "manifests": parent["manifests"] + [list(e) for e in fresh],
-            "metrics": {**(metrics or {}), "buckets_rewritten": written},
+            "metrics": {**(metrics or {}), "buckets_written": len(written)},
             "committed_at": time.time(),
         }
         # per-commit lineage + throughput (ST2/ST6: checkpoint carries metrics)
@@ -333,7 +361,84 @@ class TransactionalParquetTable:
         if snap["metrics"].get("rows"):
             snap["metrics"]["events_per_sec"] = round(snap["metrics"]["rows"] / elapsed, 1)
         self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
-        return {"status": "committed", "snapshot_id": new_id, "buckets_rewritten": written}
+        return {
+            "status": "committed",
+            "snapshot_id": new_id,
+            "buckets_written": len(written),
+        }
+
+    # ------------------------------------------------------------ compaction
+    def files_per_bucket(self, snap: dict | None = None) -> dict[str, int]:
+        snap = snap or self.latest()
+        return {b: len(ent["files"]) for b, ent in snap["buckets"].items()}
+
+    def compact(self, max_files_per_bucket: int = 8, force: bool = False) -> dict:
+        """Fold buckets whose delta chains exceed ``max_files_per_bucket``
+        back to one file each (Iceberg rewrite_data_files analog).
+
+        LWW-reduces the bucket contents; tombstones are RETAINED so a
+        late-replayed lower-order upsert still loses after compaction.
+        Bounded read amplification: call every K batches from the replay
+        loop, or force=True for full maintenance.
+        """
+        t0 = time.time()
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        victims = [
+            b
+            for b, ent in parent["buckets"].items()
+            if force or len(ent["files"]) > max_files_per_bucket
+        ]
+        if not victims:
+            return {"status": "noop", "snapshot_id": parent["snapshot_id"]}
+
+        new_id = parent["snapshot_id"] + 1
+        state = _lww_reduce(
+            self._read_buckets(parent, victims),
+            parent["key_cols"],
+            parent["order_cols"],
+        )
+        rel, written = self._write_bucket_files(
+            new_id, state, n_partitions=max(len(victims), 1)
+        )
+
+        buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
+        for b in victims:
+            buckets.pop(b, None)  # a fully-empty bucket stays absent
+        for b in written:
+            buckets[b] = {
+                "files": [
+                    {
+                        "path": os.path.join(rel, f"_pb={b}"),
+                        "schema_id": parent["current_schema_id"],
+                    }
+                ]
+            }
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "schemas": parent["schemas"],
+            "current_schema_id": parent["current_schema_id"],
+            "n_buckets": self.n_buckets,
+            "key_cols": parent["key_cols"],
+            "order_cols": parent["order_cols"],
+            "buckets": buckets,
+            "manifests": parent["manifests"],
+            "metrics": {
+                "compaction": {
+                    "buckets_compacted": len(victims),
+                    "compact_sec": round(time.time() - t0, 3),
+                }
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {
+            "status": "compacted",
+            "snapshot_id": new_id,
+            "buckets_compacted": len(victims),
+        }
 
     # ------------------------------------------------------------- evolution
     def evolve(
@@ -362,12 +467,18 @@ class TransactionalParquetTable:
             fields.append({"id": next_id, "name": name, "type": typ})
             next_id += 1
         new_schema = {"schema_id": cur["schema_id"] + 1, "fields": fields}
+        # renames can retitle key/order columns; keep them in sync by id
+        id_by_old = {f["name"]: f["id"] for f in cur["fields"]}
+        new_by_id = {f["id"]: f["name"] for f in fields}
+        remap = lambda cols: [new_by_id.get(id_by_old.get(c, -1), c) for c in cols]
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
             "schemas": parent["schemas"] + [new_schema],
             "current_schema_id": new_schema["schema_id"],
             "n_buckets": self.n_buckets,
+            "key_cols": remap(parent["key_cols"]),
+            "order_cols": remap(parent["order_cols"]),
             "buckets": parent["buckets"],
             "manifests": parent["manifests"],
             "metrics": {"evolution": {"add": add or [], "rename": rename or {}}},

@@ -14,7 +14,8 @@ because there is no un-checkpointed progress by construction.
 
 Scale: each micro-batch is one declarative plan — range-predicate scan
 (pushed down) → vectorized decode (one pandas UDF, rest codegen) → salted
-two-phase LWW shuffle → bucket-co-located COW write. No driver-side loops
+two-phase LWW shuffle → bucket-partitioned delta append (merge-on-read:
+O(batch) writes, read-time LWW, periodic compaction). No driver-side loops
 over rows, no collect of data (only per-batch counters).
 """
 
@@ -24,7 +25,6 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from sonic_etl_spark.functions.codec import decode_change_events
@@ -59,13 +59,18 @@ def replay(
     salt_buckets: int = 16,
     stop_requested: Callable[[], bool] | None = None,
     crash_after_batches: int | None = None,
+    compact_threshold: int | None = 16,
 ) -> ReplayResult:
     """Replay all uncommitted offset ranges of ``change_log`` into ``table``.
 
     ``crash_after_batches`` is a test hook: raise mid-replay to prove
     resumability (the crash/restart pytest required by SURVEY.md §7.1 M2).
+
+    ``compact_threshold``: merge-on-read maintenance — after each committed
+    batch, buckets whose delta chain exceeds this many files are folded back
+    to one (bounds read amplification during long replays). None disables.
     """
-    table.create(SOURCE_CODE_FIELDS)
+    table.create(SOURCE_CODE_FIELDS, KEY_COLS, ORDER_COLS)
     heads = log_heads(change_log)
     batches = plan_batches(heads, table.committed_ranges(), chunk_size)
     if max_batches is not None:
@@ -86,29 +91,12 @@ def replay(
         else:
             n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
         updates = reduce_batch(typed, salt_buckets=salt_buckets)
-        # affected-bucket probe over the RAW batch: parquet column pruning
-        # reads only (repo, path), no JSON decode — so the expensive
-        # decode→reduce lineage is evaluated exactly once (by the merge
-        # write), not per probe.
-        affected = [
-            r["_b"]
-            for r in raw.select(
-                F.pmod(F.xxhash64("repo", "path"), F.lit(table.n_buckets))
-                .cast("int")
-                .alias("_b")
-            )
-            .distinct()
-            .collect()
-        ]
         bm = {
             "batch_index": i,
             "manifest": [list(m) for m in manifest],
             "rows": n_rows,
         }
-        status = table.merge(
-            updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm,
-            affected_buckets=affected,
-        )
+        status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
         bm["elapsed_sec"] = round(time.time() - bt0, 3)
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]
@@ -116,6 +104,8 @@ def replay(
         if status["status"] == "committed":
             res.batches_applied += 1
             res.rows_seen += n_rows
+            if compact_threshold is not None:
+                table.compact(max_files_per_bucket=compact_threshold)
         else:
             res.batches_skipped += 1
     res.elapsed_sec = round(time.time() - t0, 3)

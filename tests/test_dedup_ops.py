@@ -1,0 +1,65 @@
+"""Dedup operator unit tests (exact, shingles, Jaccard, MinHash, SimHash)."""
+
+import pyspark.sql.functions as F
+
+from sonic_etl_spark.operators import dedup as dedup_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "a b c d")])
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dedup_ops.shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_exact_duplicates_groups(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r["keep_doc_id"]: r for r in dedup_ops.exact_duplicates(df).collect()}
+    assert out[1]["n_docs"] == 2
+    assert out[3]["n_docs"] == 1
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ops.ngram_jaccard_pairs(df).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs  # no shared shingles → no candidate pair
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
+    sig = {r["doc_id"]: r for r in dedup_ops.minhash_signatures(df).collect()}
+    for j in range(dedup_ops.MINHASH_K):
+        assert sig[1][f"mh{j}"] == sig[2][f"mh{j}"]
+    assert any(
+        sig[1][f"mh{j}"] != sig[3][f"mh{j}"] for j in range(dedup_ops.MINHASH_K)
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_ops.lsh_candidate_pairs(df).collect()
+    }
+    assert (1, 2) in cand
+
+
+def test_simhash_deterministic_and_equal_for_dups(spark):
+    df = _docs(spark, [(1, "merge into table"), (2, "merge into table")])
+    out = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash16(df).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+    # stable across runs (portable md5-based hashing, no RNG)
+    out2 = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash16(df).collect()}
+    assert out == out2

@@ -1,0 +1,70 @@
+"""Similarity operator unit tests (cosine, brute-force top-k, LSH ANN)."""
+
+import pyspark.sql.functions as F
+
+from sonic_etl_spark.operators import similarity as sim_ops
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0], "same"), ([1.0, 0.0], [0.0, 1.0], "orth")],
+        "a array<float>, b array<float>, tag string",
+    )
+    out = {
+        r["tag"]: r["c"]
+        for r in df.select(
+            "tag", F.round(sim_ops.cosine(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    }
+    assert out["same"] == 1.0
+    assert out["orth"] == 0.0
+
+
+def test_brute_force_topk_ordering(spark):
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.5, 0.5, 0.0]),
+            (3, [0.0, 1.0, 0.0]),   # farthest from 0
+        ],
+    )
+    rows = sim_ops.brute_force_topk(df, query_ids=[0], k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def _expected_bucket(vec):
+    b = 0
+    for p, row in enumerate(sim_ops.PLANES):
+        dot = sum(x * w for x, w in zip(vec, row))
+        if dot > 0:
+            b |= 1 << p
+    return b
+
+
+def test_lsh_bucket_matches_python_reference(spark):
+    dim = sim_ops.EMB_DIM
+    v = [0.25 + 0.01 * i for i in range(dim)]
+    w = [-x for x in v]
+    df = _emb(spark, [(1, v), (2, v), (3, w)])
+    out = {r["vec_id"]: r["bucket"] for r in sim_ops.lsh_buckets(df).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << sim_ops.N_PLANES)
+    assert out[1] == _expected_bucket(v)
+    assert out[3] == _expected_bucket(w)
+
+
+def test_ann_lsh_finds_same_bucket_neighbor(spark):
+    dim = sim_ops.EMB_DIM
+    base = [1.0] + [0.1] * (dim - 1)
+    near = [0.9 * x for x in base]  # same direction → provably same bucket
+    df = _emb(spark, [(0, base), (1, near)])
+    rows = sim_ops.ann_topk_lsh(df, query_ids=[0], k=5).collect()
+    assert any(r["neighbor_id"] == 1 for r in rows)

@@ -70,8 +70,9 @@ def test_tombstone_delete(spark, tmp_path):
     assert ("r", "a") not in _state(tab)
 
 
-def test_partial_bucket_rewrite(spark, tmp_path):
-    """COW granularity: a merge touching one key rewrites only its bucket."""
+def test_merge_on_read_delta_granularity(spark, tmp_path):
+    """MOR granularity: a merge touching one key appends a delta to only its
+    bucket (O(batch) writes), and the reader resolves LWW across files."""
     tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=8)
     tab.create(FIELDS)
     many = _df(
@@ -82,9 +83,41 @@ def test_partial_bucket_rewrite(spark, tmp_path):
     assert len(tab.latest()["buckets"]) == 8
     one = _df(spark, [("r7", "p7", "d" * 40, "v2", "upsert", 1000, 0)])
     res = tab.merge(one, [(0, 200, 200)], KEYS, ORDER)
-    assert res["buckets_rewritten"] == 1
+    assert res["buckets_written"] == 1
     assert tab.read().count() == 200
     assert _state(tab)[("r7", "p7")][1] == "v2"
+    # exactly one bucket has a 2-file delta chain
+    fpb = tab.files_per_bucket()
+    assert sorted(fpb.values()) == [1] * 7 + [2]
+
+
+def test_compaction_folds_deltas_and_preserves_state(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    for i in range(5):
+        tab.merge(
+            _df(spark, [("r", "a", ("c%038d" % i)[:40], f"v{i}", "upsert", i, 0)]),
+            [(0, i, i)],
+            KEYS,
+            ORDER,
+        )
+    assert max(tab.files_per_bucket().values()) == 5
+    before = _state(tab)
+    res = tab.compact(max_files_per_bucket=2)
+    assert res["status"] == "compacted"
+    assert max(tab.files_per_bucket().values()) == 1
+    assert _state(tab) == before
+    assert _state(tab)[("r", "a")][1] == "v4"
+    # tombstones survive compaction so late lower-order upserts stay dead
+    tab.merge(
+        _df(spark, [("r", "a", "e" * 40, None, "delete", 99, 0)]), [(0, 99, 99)], KEYS, ORDER
+    )
+    tab.compact(force=True)
+    assert ("r", "a") not in _state(tab)
+    tab.merge(
+        _df(spark, [("r", "a", "f" * 40, "old", "upsert", 50, 0)]), [(0, 100, 100)], KEYS, ORDER
+    )
+    assert ("r", "a") not in _state(tab)
 
 
 def test_schema_evolution_add_and_rename(spark, tmp_path):

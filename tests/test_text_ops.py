@@ -1,0 +1,66 @@
+"""Text-analysis operator unit tests (quality, lang-id, fingerprint)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from sonic_etl_spark.operators import text as text_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_quality_features(spark):
+    df = _docs(spark, [(1, "the cat sat"), (2, "a b, c!")])
+    out = {r["doc_id"]: r.asDict() for r in text_ops.quality_features(df).collect()}
+    r1 = out[1]
+    assert r1["n_chars_actual"] == 11
+    assert r1["n_words"] == 3
+    # chars excl spaces = 9; 9/3 = 3.0
+    assert r1["avg_word_len"] == 3.0
+    # 'the' is a stopword → 1/3
+    assert r1["stopword_ratio"] == round(1 / 3, 4)
+    assert r1["punct_ratio"] == 0.0
+    r2 = out[2]
+    assert r2["n_words"] == 3
+    # ',' and '!' are punct among 7 chars
+    assert r2["punct_ratio"] == round(2 / 7, 4)
+
+
+def test_quality_empty_text(spark):
+    df = _docs(spark, [(1, ""), (2, "   ")])
+    rows = {r["doc_id"]: r.asDict() for r in text_ops.quality_features(df).collect()}
+    assert rows[1]["n_words"] == 0
+    assert rows[2]["n_words"] == 0
+    assert rows[1]["stopword_ratio"] == 0.0
+
+
+def test_language_id_markers_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "der hund und die katze ist"),  # de markers
+            (2, "xyz qqq zzz"),  # no markers → unknown
+            (3, "le el"),  # es(el)=1, fr(le)=1 tie → 'es' (asc)
+        ],
+    )
+    out = {r["doc_id"]: r for r in text_ops.language_id(df).collect()}
+    assert out[1]["lang_pred"] == "de" and out[1]["marker_hits"] == 3
+    assert out[2]["lang_pred"] == "unknown" and out[2]["marker_hits"] == 0
+    assert out[3]["lang_pred"] == "es" and out[3]["marker_hits"] == 1
+
+
+def test_fingerprint_matches_hashlib(spark):
+    df = _docs(spark, [(1, "  Hello   World  ")])
+    row = text_ops.fingerprint(df).first()
+    norm = b"hello world"
+    assert row["fp_sha256"] == hashlib.sha256(norm).hexdigest()
+    assert row["fp_md5_64"] == hashlib.md5(norm).hexdigest()[:16]
+
+
+def test_token_count_regex(spark):
+    df = _docs(spark, [(1, "ab 12 cd-ef!")])
+    n = df.select(text_ops.token_count_regex(F.col("text")).alias("n")).first()["n"]
+    # ab, 12, cd, -, ef, !
+    assert n == 6
