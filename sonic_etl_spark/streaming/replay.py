@@ -111,3 +111,45 @@ def replay(
     res.elapsed_sec = round(time.time() - t0, 3)
     res.events_per_sec = round(res.rows_seen / max(res.elapsed_sec, 1e-9), 1)
     return res
+
+
+def repair_gaps(
+    change_log: DataFrame,
+    table: TransactionalParquetTable,
+    *,
+    chunk_size: int = 100_000,
+    salt_buckets: int = 16,
+) -> ReplayResult:
+    """Backfill offset gaps inside the committed manifest set (ST5 analog of
+    the daily backfill DAG, daily_backfill_mainnet.py:102-160).
+
+    The forward planner can't leave gaps by construction, but operational
+    reality can (manual manifest surgery, a retired partition re-appearing,
+    replaying a pruned table). Each gap run becomes its own micro-batch
+    through the normal decode→reduce→merge path; LWW max-merge makes
+    re-application of any overlapping rows harmless.
+    """
+    from sonic_etl_spark.operators.audit import manifest_gap_audit
+    from sonic_etl_spark.plans.planner import chunk_range
+
+    gaps = manifest_gap_audit(None, table.committed_ranges())
+    res = ReplayResult()
+    t0 = time.time()
+    for pid, lo, hi in gaps:
+        for s, e in chunk_range(lo, hi, chunk_size):
+            manifest = [(pid, s, e)]
+            raw = filter_to_manifests(change_log, manifest)
+            typed = decode_change_events(raw)
+            n_rows = assert_no_decode_errors(typed)
+            updates = reduce_batch(typed, salt_buckets=salt_buckets)
+            bm = {"repair": True, "manifest": [list(m) for m in manifest], "rows": n_rows}
+            status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
+            res.batch_metrics.append(bm)
+            if status["status"] == "committed":
+                res.batches_applied += 1
+                res.rows_seen += n_rows
+            else:
+                res.batches_skipped += 1
+    res.elapsed_sec = round(time.time() - t0, 3)
+    res.events_per_sec = round(res.rows_seen / max(res.elapsed_sec, 1e-9), 1)
+    return res
