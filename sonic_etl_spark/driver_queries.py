@@ -578,9 +578,13 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
 
 
 # --------------------------------------------------------------- similarity
-COS_SQL = (
-    "round(list_dot_product(qv, cv) / "
-    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+# both engines use the identical normalize-then-dot formula (per-element
+# x/sqrt(Σx²), then a left-to-right dot fold) so the 6dp-rounded doubles
+# match bit-for-bit; the normalization is computed once per ROW, not per
+# pair — 3 array folds → 1 inside the O(n·m) join.
+NORM_SQL = (
+    "list_transform(embedding::DOUBLE[], "
+    "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
 )
 
 
@@ -591,10 +595,10 @@ def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, {NORM_SQL} AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, {NORM_SQL} AS cv FROM embeddings),
 s AS (
-  SELECT query_id, neighbor_id, {COS_SQL} AS cos_sim
+  SELECT query_id, neighbor_id, round(list_dot_product(qv, cv), 6) AS cos_sim
   FROM q, c WHERE query_id <> neighbor_id)
 SELECT query_id, neighbor_id, cos_sim,
        CAST(row_number() OVER (PARTITION BY query_id
@@ -608,10 +612,9 @@ def q_emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_PAIRS = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, {NORM_SQL} AS nv FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+       round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 """

@@ -60,22 +60,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def normalized(a: Column) -> Column:
+    """Unit-normalized double vector: x / sqrt(Σx²), elementwise.
+
+    Pairwise queries normalize each row ONCE (per stream/broadcast row)
+    instead of recomputing two norms per pair — 3 array folds → 1 in the
+    O(n·m) inner loop. The DuckDB oracles use the exact same per-element
+    division + left-to-right dot, so rounded values match bit-for-bit.
+    """
+    d = F.transform(a, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(d, lambda x: x / norm)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for each query id against the whole corpus."""
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), normalized(F.col(vec_col)).alias("qv")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), normalized(F.col(vec_col)).alias("cv")
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,14 +113,14 @@ def top_pairs(
     emb: DataFrame, top_k: int = 50, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Most-similar distinct pairs by exact cosine (near-dup detection)."""
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(F.col(id_col).alias("vec_a"), normalized(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), normalized(F.col(vec_col)).alias("vb"))
     pairs = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
     )
     return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(top_k)
@@ -139,7 +160,7 @@ def ann_topk_lsh(
     """
     indexed = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
+        normalized(F.col(vec_col)).alias("vec"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     q = indexed.where(F.col("vec_id").isin(query_ids)).select(
@@ -154,7 +175,7 @@ def ann_topk_lsh(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
