@@ -620,6 +620,23 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 """
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (the 'learned-cell' ANN scale path)."""
+    return sim_ops.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_ASSIGN = f"""
+WITH c AS (SELECT vec_id AS centroid_id, {NORM_SQL} AS cv FROM embeddings WHERE vec_id < 16),
+v AS (SELECT vec_id, {NORM_SQL} AS nv FROM embeddings),
+s AS (
+  SELECT vec_id, centroid_id, round(list_dot_product(nv, cv), 6) AS cos_sim
+  FROM v, c)
+SELECT vec_id, centroid_id, cos_sim AS centroid_cos
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+"""
+
+
 def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.lsh_buckets(_t(spark, sf_dir, "embeddings"))
 
@@ -656,6 +673,14 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness of the underlying cosine is covered by emb_topk)."""
     return sim_ops.ann_topk_lsh(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via single-probe IVF cells (recall<1 by design → rows-only;
+    the assignment itself is oracle-checked by ivf_assign)."""
+    return sim_ops.ann_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20, 30)), k=5
     )
 
 
@@ -712,8 +737,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "emb_cosine_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_PAIRS),
     "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     # rows-only (non-SQL-expressible)
     "multimodal_features": (q_multimodal_features, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "ann_topk_ivf": (q_ann_topk_ivf, None),
     "cdc_replay_converged": (q_cdc_replay, None),
 }

@@ -148,6 +148,74 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddin
     )
 
 
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Deterministic centroid choice: the first ``n_centroids`` vectors by id
+    (a seeded k-means would slot in identically — the assignment join shape
+    is what matters at scale). Assignment = argmax cosine over the broadcast
+    centroid set, ties broken by centroid id ascending. One broadcast join +
+    one row_number per vector — no shuffle of the corpus.
+    """
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), normalized(F.col(vec_col)).alias("cv")
+    )
+    v = emb.select(F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv"))
+    scored = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(dot(F.col("nv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("cos_sim").alias("centroid_cos"))
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF cells (single-probe): candidates share the query's
+    centroid; exact cosine re-rank. Same join shape as the LSH variant —
+    equi-join on a uniform-ish cell id instead of a hyperplane bucket."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    indexed = emb.select(
+        F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv")
+    ).join(assigned, "vec_id")
+    q = indexed.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("nv").alias("qv"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(indexed, on="centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame, query_ids: list[int], k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -68,3 +68,21 @@ def test_ann_lsh_finds_same_bucket_neighbor(spark):
     df = _emb(spark, [(0, base), (1, near)])
     rows = sim_ops.ann_topk_lsh(df, query_ids=[0], k=5).collect()
     assert any(r["neighbor_id"] == 1 for r in rows)
+
+
+def test_ivf_assign_and_ann(spark):
+    dim = sim_ops.EMB_DIM
+    # centroid 0 along e0, centroid 1 along e1; others cluster near them
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    near0 = [0.9, 0.05] + [0.0] * (dim - 2)
+    near1 = [0.05, 0.9] + [0.0] * (dim - 2)
+    df = _emb(spark, [(0, e0), (1, e1), (2, near0), (3, near1)])
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim_ops.ivf_assign(df, n_centroids=2).collect()
+    }
+    assert assign == {0: 0, 1: 1, 2: 0, 3: 1}
+    rows = sim_ops.ann_topk_ivf(df, query_ids=[2], k=3, n_centroids=2).collect()
+    # same-cell candidate (vec 0) found; other-cell vectors absent
+    assert {r["neighbor_id"] for r in rows} == {0}
