@@ -270,6 +270,30 @@ FROM lineitem
 """
 
 
+def q_numeric_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: checked NUMERIC narrowing — 29-digit range check errors (NULL)
+    instead of capping (TryIntoNumeric, bq/numeric.rs:71-100)."""
+    from sonic_etl_spark.functions.codec import numeric_checked
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    n = (F.col("event_id") % 15 + 20).cast("int")
+    s = F.repeat(F.lit("9"), n)
+    return ev.select(
+        "event_id",
+        n.alias("n_digits"),
+        numeric_checked(s).alias("num"),
+    )
+
+
+SQL_NUMERIC_CHECKED = """
+SELECT event_id,
+       CAST(event_id % 15 + 20 AS INTEGER) AS n_digits,
+       CASE WHEN event_id % 15 + 20 <= 29
+            THEN CAST(repeat('9', CAST(event_id % 15 + 20 AS INTEGER)) AS DECIMAL(29,0)) END AS num
+FROM events WHERE event_id < 500
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: JSON payload decode (args_to_json analog) + per-type aggregates."""
     ev = _t(spark, sf_dir, "events")
@@ -719,6 +743,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "topk_per_group": (q_topk_orders, SQL_TOPK_ORDERS),
     "hex_roundtrip": (q_hex_roundtrip, SQL_HEX),
     "typed_transform_dual": (q_typed_transform, SQL_TYPED),
+    "numeric_checked": (q_numeric_checked, SQL_NUMERIC_CHECKED),
     "json_props_decode": (q_json_props, SQL_JSON),
     "user_activity": (q_user_activity, SQL_USER_ACTIVITY),
     "struct_array_transform": (q_struct_array_transform, SQL_STRUCT_ARRAY),

@@ -42,6 +42,11 @@ RAW_PAYLOAD_SCHEMA = StructType(
 # (common.rs:154-160). Values above are *capped*, not errored.
 BIGNUMERIC_CAP = "9" * 38
 
+# 29 nines — the NUMERIC range bound the reference *errors* on (not caps):
+# TryIntoNumeric checks ±9999999999999999999999999999 9s
+# (transformation/bq/numeric.rs:71-100).
+NUMERIC_MAX_DIGITS = 29
+
 TYPED_COLUMNS = [
     "partition_id",
     "offset",
@@ -110,6 +115,28 @@ def _uint256_hex_to_decimal_dual(hex_vals: pd.Series) -> pd.DataFrame:
     pairs = hex_vals.map(conv)
     return pd.DataFrame(
         {"value": pairs.str[0], "value_lossless": pairs.str[1]}
+    )
+
+
+def numeric_checked(col: Column) -> Column:
+    """Decimal-string → NUMERIC with the reference's 29-digit range CHECK.
+
+    Unlike the BIGNUMERIC path (cap, common.rs:148-160), NUMERIC overflow is
+    an *error* (TryIntoNumeric → TransformationErr, bq/numeric.rs:71-100):
+    out-of-range values return NULL here and callers pair it with an error
+    flag (fail-the-batch). Accepts optional sign; digits only.
+
+    Whole-stage-codegen: a regexp validity test + length check + cast — no
+    UDF.
+    """
+    s = F.trim(col)
+    digits = F.regexp_replace(s, "^[+-]", "")
+    valid = s.rlike(r"^[+-]?[0-9]+$")
+    # strip leading zeros for the length check ('000…1' is in range)
+    canonical = F.regexp_replace(digits, "^0+(?=[0-9])", "")
+    in_range = F.length(canonical) <= NUMERIC_MAX_DIGITS
+    return F.when(valid & in_range, s.cast("decimal(29,0)")).otherwise(
+        F.lit(None).cast("decimal(29,0)")
     )
 
 

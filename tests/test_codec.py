@@ -111,3 +111,22 @@ def test_fail_the_batch(spark):
     bad = decode_change_events(_event(spark, "{not json"))
     with pytest.raises(ValueError, match="malformed json"):
         assert_no_decode_errors(bad)
+
+
+def test_numeric_checked_range_and_validity(spark):
+    from sonic_etl_spark.functions.codec import numeric_checked
+
+    cases = [
+        ("9" * 29, int("9" * 29)),        # exactly max → ok
+        ("9" * 30, None),                  # 30 digits → AboveMax → NULL
+        ("-" + "9" * 29, -int("9" * 29)),  # min bound ok
+        ("000" + "1" * 29, int("1" * 29)),  # leading zeros don't overflow
+        ("12a4", None),                    # not a decimal string
+        ("", None),
+        (None, None),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r["v"] for r in df.select(numeric_checked(F.col("s")).alias("v")).collect()]
+    assert [None if g is None else int(g) for g in got] == [e for _, e in cases]
