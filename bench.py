@@ -89,8 +89,6 @@ from sonic_etl_spark.session import get_spark
 from sonic_etl_spark.sources import TransactionalParquetTable
 from sonic_etl_spark.streaming import replay
 from sonic_etl_spark.log import synthesize_change_events
-from sonic_etl_spark.functions.codec import decode_change_events
-from sonic_etl_spark.operators.merge import reduce_batch
 spark = get_spark("bench-replay", master="local[{cores}]",
                   shuffle_partitions={max(cores, 32)})
 spark.sparkContext.setLogLevel("ERROR")
