@@ -47,6 +47,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _exact_money_sum(col: str) -> F.Column:
+    """Order-independent money sum: a DOUBLE sum is not associative, so the
+    pre-round value can cross a .005 boundary depending on partition order
+    (the r01 ``user_activity`` hash flake). Summing exact decimals makes the
+    aggregate bit-stable on any engine/partitioning; the cast back to double
+    keeps the published column type. Inputs are 2-dp doubles, so the
+    decimal(18,4) per-row cast is exact."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2)
+
+
+def _sql_exact_money_sum(col: str) -> str:
+    """DuckDB mirror of :func:`_exact_money_sum` (same exact-decimal sum)."""
+    return f"round(CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DOUBLE), 2)"
+
+
 # --------------------------------------------------------------------- core
 def q_lww_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/O2/ST4: last-writer-wins convergence of the events change feed.
@@ -155,14 +170,14 @@ def q_seg_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _exact_money_sum("o_totalprice").alias("revenue"),
         )
     )
 
 
-SQL_SEG_REV = """
+SQL_SEG_REV = f"""
 SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-       count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+       count(*) AS n_orders, {_sql_exact_money_sum('o.o_totalprice')} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -177,7 +192,7 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _exact_money_sum("value").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket_epoch"),
@@ -188,9 +203,9 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TIME_BUCKETS = """
+SQL_TIME_BUCKETS = f"""
 SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT) AS bucket_epoch,
-       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n, {_sql_exact_money_sum('value')} AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -271,25 +286,34 @@ FROM lineitem
 
 
 def q_numeric_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12: checked NUMERIC narrowing — 29-digit range check errors (NULL)
-    instead of capping (TryIntoNumeric, bq/numeric.rs:71-100)."""
+    """T12: checked NUMERIC narrowing — values past MAX_NUMERIC (28 nines)
+    error (NULL) instead of capping (TryIntoNumeric, bq/numeric.rs:71-100).
+
+    The result is emitted as (in_range, num_str) rather than a bare DECIMAL:
+    engines canonicalize Decimal serialization differently (9E+28 vs plain
+    digits), so the gate compares a canonical string; the engine fn itself
+    still returns decimal(28,0) (pytest-covered boundary tests).
+    """
     from sonic_etl_spark.functions.codec import numeric_checked
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
     n = (F.col("event_id") % 15 + 20).cast("int")
     s = F.repeat(F.lit("9"), n)
+    num = numeric_checked(s)
     return ev.select(
         "event_id",
         n.alias("n_digits"),
-        numeric_checked(s).alias("num"),
+        num.isNotNull().alias("in_range"),
+        num.cast("string").alias("num_str"),
     )
 
 
 SQL_NUMERIC_CHECKED = """
 SELECT event_id,
        CAST(event_id % 15 + 20 AS INTEGER) AS n_digits,
-       CASE WHEN event_id % 15 + 20 <= 29
-            THEN CAST(repeat('9', CAST(event_id % 15 + 20 AS INTEGER)) AS DECIMAL(29,0)) END AS num
+       event_id % 15 + 20 <= 28 AS in_range,
+       CASE WHEN event_id % 15 + 20 <= 28
+            THEN repeat('9', CAST(event_id % 15 + 20 AS INTEGER)) END AS num_str
 FROM events WHERE event_id < 500
 """
 
@@ -321,15 +345,15 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
             "n_clicks"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _exact_money_sum("value").alias("total_value"),
         F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
     )
 
 
-SQL_USER_ACTIVITY = """
+SQL_USER_ACTIVITY = f"""
 SELECT user_id, count(*) AS n_events,
        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-       round(sum(value), 2) AS total_value,
+       {_sql_exact_money_sum('value')} AS total_value,
        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
 FROM events GROUP BY 1
 """

@@ -42,10 +42,10 @@ RAW_PAYLOAD_SCHEMA = StructType(
 # (common.rs:154-160). Values above are *capped*, not errored.
 BIGNUMERIC_CAP = "9" * 38
 
-# 29 nines — the NUMERIC range bound the reference *errors* on (not caps):
-# TryIntoNumeric checks ±9999999999999999999999999999 9s
-# (transformation/bq/numeric.rs:71-100).
-NUMERIC_MAX_DIGITS = 29
+# 28 nines — the NUMERIC range bound the reference *errors* on (not caps):
+# MAX_NUMERIC = ±9999999999999999999999999999 (28 nines) in
+# transformation/bq/numeric.rs:71/88, so every 29-digit value is TooBig.
+NUMERIC_MAX_DIGITS = 28
 
 TYPED_COLUMNS = [
     "partition_id",
@@ -119,10 +119,11 @@ def _uint256_hex_to_decimal_dual(hex_vals: pd.Series) -> pd.DataFrame:
 
 
 def numeric_checked(col: Column) -> Column:
-    """Decimal-string → NUMERIC with the reference's 29-digit range CHECK.
+    """Decimal-string → NUMERIC with the reference's 28-digit range CHECK.
 
     Unlike the BIGNUMERIC path (cap, common.rs:148-160), NUMERIC overflow is
-    an *error* (TryIntoNumeric → TransformationErr, bq/numeric.rs:71-100):
+    an *error* (TryIntoNumeric → TransformationErr, bq/numeric.rs:71-100:
+    MAX_NUMERIC is 28 nines, so any 29-digit magnitude is TooBig):
     out-of-range values return NULL here and callers pair it with an error
     flag (fail-the-batch). Accepts optional sign; digits only.
 
@@ -135,8 +136,8 @@ def numeric_checked(col: Column) -> Column:
     # strip leading zeros for the length check ('000…1' is in range)
     canonical = F.regexp_replace(digits, "^0+(?=[0-9])", "")
     in_range = F.length(canonical) <= NUMERIC_MAX_DIGITS
-    return F.when(valid & in_range, s.cast("decimal(29,0)")).otherwise(
-        F.lit(None).cast("decimal(29,0)")
+    return F.when(valid & in_range, s.cast("decimal(28,0)")).otherwise(
+        F.lit(None).cast("decimal(28,0)")
     )
 
 

@@ -117,10 +117,11 @@ def test_numeric_checked_range_and_validity(spark):
     from sonic_etl_spark.functions.codec import numeric_checked
 
     cases = [
-        ("9" * 29, int("9" * 29)),        # exactly max → ok
-        ("9" * 30, None),                  # 30 digits → AboveMax → NULL
-        ("-" + "9" * 29, -int("9" * 29)),  # min bound ok
-        ("000" + "1" * 29, int("1" * 29)),  # leading zeros don't overflow
+        ("9" * 28, int("9" * 28)),        # exactly MAX_NUMERIC (28 nines) → ok
+        ("1" + "0" * 28, None),            # smallest 29-digit value → TooBig → NULL
+        ("9" * 29, None),                  # 29 digits → TooBig → NULL
+        ("-" + "9" * 28, -int("9" * 28)),  # min bound ok
+        ("000" + "1" * 28, int("1" * 28)),  # leading zeros don't overflow
         ("12a4", None),                    # not a decimal string
         ("", None),
         (None, None),
