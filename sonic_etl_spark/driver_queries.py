@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from sonic_etl_spark.functions import catalog as catalog_ops
 from sonic_etl_spark.operators import audit as audit_ops
 from sonic_etl_spark.operators import dedup as dedup_ops
+from sonic_etl_spark.operators import merge as merge_ops
 from sonic_etl_spark.operators import multimodal as mm_ops
 from sonic_etl_spark.operators import similarity as sim_ops
 from sonic_etl_spark.operators import text as text_ops
@@ -66,26 +67,23 @@ def _sql_exact_money_sum(col: str) -> str:
 def q_lww_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/O2/ST4: last-writer-wins convergence of the events change feed.
 
-    The flagship shape of the engine: one winning row per key under a total
-    order — ``max_by(payload, order)`` gets map-side partial aggregation
-    (one shuffle, no full sort), exactly the merge-apply reduction
-    (operators/merge.py) on the driver's events table.
+    Drives the engine's OWN reduction, ``operators.merge.salted_lww`` — the
+    exact two-phase salted max_by the replay merge-apply stage runs
+    (reduce_batch is the CDC-typed wrapper over it) — keyed here on the
+    driver's events table: one winner per user_id under (ts, event_id).
     """
-    ev = _t(spark, sf_dir, "events")
-    payload = F.struct(
-        F.col("event_id"), F.col("event_type"), F.col("value"), F.col("ts")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
     )
-    order = F.struct(F.col("ts"), F.col("event_id"))
-    return (
-        ev.groupBy("user_id")
-        .agg(F.max_by(payload, order).alias("r"))
-        .select(
-            "user_id",
-            F.col("r.event_id").alias("last_event_id"),
-            F.col("r.event_type").alias("last_event_type"),
-            F.round(F.col("r.value"), 2).alias("last_value"),
-            F.unix_timestamp(F.col("r.ts")).alias("last_ts_epoch"),
-        )
+    won = merge_ops.salted_lww(
+        ev, ["user_id"], ["ts", "event_id"], salt_col="event_id"
+    )
+    return won.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.unix_timestamp(F.col("ts")).alias("last_ts_epoch"),
     )
 
 
@@ -239,14 +237,17 @@ QUALIFY rnk <= 3
 
 
 def q_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2/T9: hex-quantity encode + checked decode (conv), the raw-payload
-    numeric convention of the reference (common.rs:132-146)."""
+    """T2/T9: hex-quantity encode + checked decode — drives the engine's
+    real ``codec.hex_to_long_checked`` (the raw-payload numeric convention
+    of the reference, common.rs:132-146, with AboveMax detection)."""
+    from sonic_etl_spark.functions.codec import hex_to_long_checked
+
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
     hex_str = F.lower(F.hex(F.col("event_id")))
     return ev.select(
         "event_id",
         hex_str.alias("hex_str"),
-        F.conv(hex_str, 16, 10).cast("long").alias("decoded"),
+        hex_to_long_checked(F.concat(F.lit("0x"), hex_str)).alias("decoded"),
     )
 
 
@@ -315,6 +316,49 @@ SELECT event_id,
        CASE WHEN event_id % 15 + 20 <= 28
             THEN repeat('9', CAST(event_id % 15 + 20 AS INTEGER)) END AS num_str
 FROM events WHERE event_id < 500
+"""
+
+
+def q_uint256_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/T13: the engine's REAL uint256 decode UDF
+    (``codec._uint256_hex_to_decimal_dual``, the one Arrow stage of the
+    replay path) driven over a 128-bit hex column derived from event_id.
+    ~71% of uniform 128-bit values exceed the 38-nines BIGNUMERIC cap, so
+    both the capped and passthrough branches are exercised
+    (cap_bignumeric, common.rs:148-160; dual store :211-213). The oracle
+    reproduces the decode in DuckDB with exact 2-limb UHUGEINT arithmetic.
+    """
+    from sonic_etl_spark.functions.codec import _uint256_hex_to_decimal_dual
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    hx = F.concat(
+        F.lit("0x"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 32),
+    )
+    return ev.withColumn("_d", _uint256_hex_to_decimal_dual(hx)).select(
+        "event_id",
+        hx.alias("hex_str"),
+        F.col("_d.value").alias("value_capped"),
+        F.col("_d.value_lossless").alias("value_lossless"),
+    )
+
+
+SQL_UINT256_DUAL = """
+WITH h AS (
+  SELECT event_id, substr(sha256(CAST(event_id AS VARCHAR)), 1, 32) AS hx
+  FROM events WHERE event_id < 2000),
+v AS (
+  SELECT event_id, hx,
+         CAST(CAST(('0x' || substr(hx, 1, 16)) AS UBIGINT) AS UHUGEINT)
+           * CAST('18446744073709551616' AS UHUGEINT)
+         + CAST(CAST(('0x' || substr(hx, 17, 16)) AS UBIGINT) AS UHUGEINT) AS val
+  FROM h)
+SELECT event_id, '0x' || hx AS hex_str,
+       CASE WHEN val > CAST('99999999999999999999999999999999999999' AS UHUGEINT)
+            THEN '99999999999999999999999999999999999999'
+            ELSE CAST(val AS VARCHAR) END AS value_capped,
+       CAST(val AS VARCHAR) AS value_lossless
+FROM v
 """
 
 
@@ -768,6 +812,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "hex_roundtrip": (q_hex_roundtrip, SQL_HEX),
     "typed_transform_dual": (q_typed_transform, SQL_TYPED),
     "numeric_checked": (q_numeric_checked, SQL_NUMERIC_CHECKED),
+    "uint256_dual_decode": (q_uint256_dual, SQL_UINT256_DUAL),
     "json_props_decode": (q_json_props, SQL_JSON),
     "user_activity": (q_user_activity, SQL_USER_ACTIVITY),
     "struct_array_transform": (q_struct_array_transform, SQL_STRUCT_ARRAY),

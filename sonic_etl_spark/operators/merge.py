@@ -61,6 +61,33 @@ def _lww(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame
     )
 
 
+def salted_lww(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    *,
+    salt_col: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """One winning row per key under the total order — two-phase salted.
+
+    The engine's core reduction (see :func:`reduce_batch` for the CDC-typed
+    wrapper): phase 1 aggregates per (key, salt) with map-side partial
+    combine so no reducer sees a hot key's full row set; phase 2 merges the
+    ≤``salt_buckets`` per-salt winners. max is associative/commutative, so
+    the composition equals a single max for ANY salt assignment.
+
+    ``salt_col`` defaults to the first order column (any value-bearing column
+    works; a constant would just degrade to unsalted).
+    """
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(salt_col or order_cols[0])), F.lit(salt_buckets)),
+    )
+    phase1 = _lww(salted, key_cols + ["_salt"], order_cols).drop("_salt")
+    return _lww(phase1, key_cols, order_cols)
+
+
 def reduce_batch(
     typed: DataFrame,
     *,
@@ -93,11 +120,13 @@ def reduce_batch(
         F.col("offset").alias("last_offset"),
         F.col("partition_id").alias("last_partition_id"),
     )
-    salted = projected.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("commit")), F.lit(salt_buckets))
+    return salted_lww(
+        projected,
+        key_cols,
+        order_cols,
+        salt_col="commit",
+        salt_buckets=salt_buckets,
     )
-    phase1 = _lww(salted, key_cols + ["_salt"], order_cols).drop("_salt")
-    return _lww(phase1, key_cols, order_cols)
 
 
 def assert_no_decode_errors(typed: DataFrame) -> int:
