@@ -776,28 +776,60 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed materialization path for the synthesized change log: the flagship
+# query writes it, then its DuckDB oracle reads it back — making the engine's
+# core replay claim driver-verified instead of self-verified. Content is a
+# pure function of (seed=42, n=20000), independent of sf and parallelism.
+CDC_LOG_PATH = "/tmp/sonic_etl_spark_cdc_log.parquet"
+
+
 def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full CDC engine end-to-end on a synthesized change log:
-    synthesize → plan → decode → salted LWW reduce → idempotent MERGE →
-    converged table state. Input is engine-synthesized (deterministic,
-    seed=42), so no DuckDB oracle exists; convergence invariants are
-    pytest-verified (tests/test_replay.py)."""
+    synthesize → materialize to parquet → plan → decode → salted LWW reduce
+    → idempotent MERGE → converged table state.
+
+    The log is written to :data:`CDC_LOG_PATH` so the DuckDB oracle can
+    replay the SAME input independently (from_base64 + sha256 decode, window
+    LWW over (offset, partition_id, commit), tombstone filter). Requires the
+    Spark side to run before the oracle (the driver's order)."""
     import tempfile
 
     from sonic_etl_spark.log.synthesis import synthesize_change_events
     from sonic_etl_spark.sources.table import TransactionalParquetTable
     from sonic_etl_spark.streaming.replay import replay
 
-    log = synthesize_change_events(spark, 20_000, n_partitions=4).cache()
+    log = synthesize_change_events(spark, 20_000, n_partitions=4)
+    log.write.mode("overwrite").parquet(CDC_LOG_PATH)
+    log = spark.read.parquet(CDC_LOG_PATH)  # replay the materialized bytes
     tbl = TransactionalParquetTable(
         spark, tempfile.mkdtemp(prefix="cdc_replay_"), n_buckets=8
     )
     replay(log, tbl, chunk_size=2000, validate=False)
-    log.unpersist()
     return tbl.read().select(
         "repo", "path", "commit", "lang", "content_sha256", "size_bytes",
         "last_offset", "last_partition_id",
     )
+
+
+SQL_CDC_REPLAY = f"""
+WITH log AS (SELECT * FROM read_parquet('{CDC_LOG_PATH}/*.parquet')),
+dec AS (
+  SELECT repo, path, commit, lang,
+         -- Spark base64() is MIME-chunked (CRLF every 76 chars); strip before decode
+         sha256(decode(from_base64(regexp_replace(
+             json_extract_string(content_raw, '$.content_b64'), '\\s', '', 'g')))) AS content_sha256,
+         CAST(CAST(json_extract_string(content_raw, '$.size') AS UBIGINT) AS BIGINT) AS size_bytes,
+         "offset" AS last_offset, partition_id AS last_partition_id, op
+  FROM log),
+w AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path
+    ORDER BY last_offset DESC, last_partition_id DESC, commit DESC) AS rn
+  FROM dec)
+SELECT repo, path, commit, lang, content_sha256, size_bytes,
+       last_offset, last_partition_id
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -836,5 +868,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_features": (q_multimodal_features, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
-    "cdc_replay_converged": (q_cdc_replay, None),
+    "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
 }
