@@ -569,6 +569,71 @@ FROM m
 """
 
 
+# ordered-args event catalog (U4 depth): per event_type, an ordered arg list
+# interleaving 'col' (indexed/topic-slot) and 'json' (body-blob) sources —
+# the analog of solval_to_serdeval/args_to_json re-interleaving indexed and
+# body params into declared order (events/generic.rs:75-137). 'error' is
+# deliberately absent → NULL (NotFound miss-skip, generic.rs:5-31).
+_ARGS_CATALOG = catalog_ops.EventArgsCatalog(
+    {
+        "click": [
+            catalog_ops.ArgSpec("user", "col", "user_id", "long"),
+            catalog_ops.ArgSpec("k", "json", "k", "long"),
+            catalog_ops.ArgSpec("event", "col", "event_id", "long"),
+        ],
+        "view": [
+            catalog_ops.ArgSpec("k", "json", "k", "long"),
+            catalog_ops.ArgSpec("user", "col", "user_id", "long"),
+        ],
+        "purchase": [
+            catalog_ops.ArgSpec("event", "col", "event_id", "long"),
+            catalog_ops.ArgSpec("etype", "col", "event_type", "string"),
+            catalog_ops.ArgSpec("k", "json", "k", "long"),
+        ],
+        "signup": [catalog_ops.ArgSpec("user", "col", "user_id", "long")],
+    }
+)
+
+
+def q_catalog_args_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 depth: catalog-driven ordered-args decode — a JSON array of typed
+    args emitted in catalog-declared order, interleaving row columns
+    (indexed params) and props-JSON fields (body params); catalog miss →
+    NULL row."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        _ARGS_CATALOG.args_json_col(F.col("event_type"), F.col("props")).alias(
+            "args_json"
+        ),
+    )
+
+
+def _catalog_args_sql() -> str:
+    """Oracle generated from the SAME catalog declaration (mirror of the
+    lang_id/catalog_decode oracle generators)."""
+
+    def arg_sql(spec) -> str:
+        if spec.source == "col":
+            raw = spec.key
+        else:
+            raw = f"json_extract_string(props, '$.{spec.key}')"
+        if spec.type == "long":
+            return f"CAST(CAST({raw} AS BIGINT) AS VARCHAR)"
+        return f"CAST({raw} AS VARCHAR)"
+
+    whens = []
+    for etype in _ARGS_CATALOG.event_types:
+        args = ", ".join(arg_sql(s) for s in _ARGS_CATALOG._by_type[etype])
+        whens.append(f"WHEN '{etype}' THEN to_json([{args}])")
+    return f"""
+SELECT event_id, event_type,
+       CASE event_type {' '.join(whens)} END AS args_json
+FROM events
+"""
+
+
 SQL_FINGERPRINT = """
 SELECT doc_id,
        sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_sha256,
@@ -776,11 +841,20 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed materialization path for the synthesized change log: the flagship
-# query writes it, then its DuckDB oracle reads it back — making the engine's
-# core replay claim driver-verified instead of self-verified. Content is a
-# pure function of (seed=42, n=20000), independent of sf and parallelism.
+# Fixed materialization paths for the synthesized change log: the engine
+# queries write them, then their DuckDB oracles read them back — making the
+# engine's replay claims driver-verified instead of self-verified. Content is
+# a pure function of (seed=42, n=20000), independent of sf and parallelism.
 CDC_LOG_PATH = "/tmp/sonic_etl_spark_cdc_log.parquet"
+POISON_LOG_PATH = "/tmp/sonic_etl_spark_cdc_log_poison.parquet"
+
+
+def _materialize_log(spark: SparkSession, path: str, **kw) -> DataFrame:
+    from sonic_etl_spark.log.synthesis import synthesize_change_events
+
+    log = synthesize_change_events(spark, 20_000, n_partitions=4, **kw)
+    log.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)  # replay the materialized bytes
 
 
 def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,13 +868,10 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side to run before the oracle (the driver's order)."""
     import tempfile
 
-    from sonic_etl_spark.log.synthesis import synthesize_change_events
     from sonic_etl_spark.sources.table import TransactionalParquetTable
     from sonic_etl_spark.streaming.replay import replay
 
-    log = synthesize_change_events(spark, 20_000, n_partitions=4)
-    log.write.mode("overwrite").parquet(CDC_LOG_PATH)
-    log = spark.read.parquet(CDC_LOG_PATH)  # replay the materialized bytes
+    log = _materialize_log(spark, CDC_LOG_PATH)
     tbl = TransactionalParquetTable(
         spark, tempfile.mkdtemp(prefix="cdc_replay_"), n_buckets=8
     )
@@ -832,6 +903,99 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_fanout_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 multi-table fan-out, driver-verified: one decode pass committed to
+    source_code + file_versions + quarantine under ONE shared manifest
+    (streaming/fanout.py; mod.rs:305-314 / streampublisher.rs:29-76 analog),
+    then the row_counts.py:85-102-style parent/child profile per repo:
+    converged path count vs distinct version count. The oracle recomputes
+    both from the materialized log independently."""
+    import tempfile
+
+    from sonic_etl_spark.sources.multitable import TransactionalTableSet
+    from sonic_etl_spark.streaming.fanout import replay_fanout
+
+    log = _materialize_log(spark, CDC_LOG_PATH)
+    ts = TransactionalTableSet(
+        spark, tempfile.mkdtemp(prefix="cdc_fanout_"), n_buckets=8
+    )
+    replay_fanout(log, ts, chunk_size=2000, on_error="quarantine")
+    paths = (
+        ts.read("source_code")
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    versions = (
+        ts.read("file_versions", include_tombstones=True)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+    return paths.join(versions, "repo", "full").select(
+        "repo",
+        F.coalesce("n_paths", F.lit(0)).alias("n_paths"),
+        F.coalesce("n_versions", F.lit(0)).alias("n_versions"),
+    )
+
+
+SQL_FANOUT_INVARIANTS = f"""
+WITH log AS (SELECT * FROM read_parquet('{CDC_LOG_PATH}/*.parquet')),
+state AS (
+  SELECT repo, path, op, row_number() OVER (
+    PARTITION BY repo, path
+    ORDER BY "offset" DESC, partition_id DESC, commit DESC) AS rn
+  FROM log),
+paths AS (
+  SELECT repo, count(*) AS n_paths FROM state
+  WHERE rn = 1 AND op <> 'delete' GROUP BY repo),
+vers AS (
+  SELECT repo, count(DISTINCT path || '#' || commit) AS n_versions
+  FROM log GROUP BY repo)
+SELECT coalesce(p.repo, v.repo) AS repo,
+       coalesce(n_paths, 0) AS n_paths,
+       coalesce(n_versions, 0) AS n_versions
+FROM paths p FULL JOIN vers v ON p.repo = v.repo
+"""
+
+
+def q_quarantine_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter path, driver-verified (dataflow.tf:1-31 / err.rs:1-31
+    analog): replay a log with deterministically-poisoned payloads under
+    on_error='quarantine'; bad rows land in the quarantine table with
+    field-attributed errors instead of wedging their partition. The oracle
+    classifies the same corruption from the raw log in SQL."""
+    import tempfile
+
+    from sonic_etl_spark.sources.multitable import TransactionalTableSet
+    from sonic_etl_spark.streaming.fanout import replay_fanout
+
+    log = _materialize_log(spark, POISON_LOG_PATH, poison_fraction=0.05)
+    ts = TransactionalTableSet(
+        spark, tempfile.mkdtemp(prefix="cdc_quarantine_"), n_buckets=8
+    )
+    replay_fanout(log, ts, chunk_size=2000, on_error="quarantine")
+    return (
+        ts.read("quarantine")
+        .groupBy("decode_error")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_QUARANTINE = f"""
+WITH log AS (SELECT * FROM read_parquet('{POISON_LOG_PATH}/*.parquet')),
+cls AS (
+  SELECT CASE
+           WHEN NOT json_valid(content_raw) THEN 'payload: malformed json'
+           WHEN CAST(json_extract_string(content_raw, '$.size') AS UBIGINT)
+                <> octet_length(from_base64(regexp_replace(
+                     json_extract_string(content_raw, '$.content_b64'), '\\s', '', 'g')))
+             THEN 'size: mismatch vs content'
+         END AS decode_error
+  FROM log)
+SELECT decode_error, count(*) AS n_rows
+FROM cls WHERE decode_error IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # CDC / SURVEY §2 core
     "lww_converge": (q_lww_converge, SQL_LWW),
@@ -854,6 +1018,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id": (q_lang_id, _lang_id_sql()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
+    "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),
@@ -869,4 +1034,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
     "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
+    "fanout_invariants": (q_fanout_invariants, SQL_FANOUT_INVARIANTS),
+    "quarantine_by_class": (q_quarantine_by_class, SQL_QUARANTINE),
 }

@@ -101,3 +101,77 @@ class NullCatalog(LangCatalog):
 
     def __init__(self):
         super().__init__(specs=[])
+
+
+# --------------------------------------------------------------------------
+# Ordered-args event decode (U4 depth): the reference's generic event decode
+# interleaves INDEXED params (from topic slots) and BODY params (from the
+# data blob) back into the event's declared parameter order before emitting
+# JSON (solval_to_serdeval / args_to_json, events/generic.rs:75-137). The
+# analog: each catalog entry declares an ordered arg list, each arg sourced
+# from either a row column ('col' ≙ indexed/topic) or the props JSON
+# ('json' ≙ body blob), with a declared type; decode emits a JSON array of
+# canonical strings in catalog order. Unknown event_type → NULL (the
+# NotFound miss-skip, generic.rs:5-31).
+
+
+@dataclass(frozen=True)
+class ArgSpec:
+    """One declared event parameter (analog of one ABI param)."""
+
+    name: str
+    source: str  # 'col' (indexed/topic slot) | 'json' (body blob)
+    key: str  # column name or JSON key
+    type: str = "string"  # 'long' | 'string'
+
+
+class EventArgsCatalog:
+    """event_type → ordered [ArgSpec], with LangCatalog's build-time
+    conflict rules (re-add identical: no-op; re-add different: raise)."""
+
+    def __init__(self, entries: dict[str, list[ArgSpec]] | None = None):
+        self._by_type: dict[str, tuple[ArgSpec, ...]] = {}
+        for etype, specs in (entries or {}).items():
+            self.add(etype, specs)
+
+    def add(self, event_type: str, specs: list[ArgSpec]) -> None:
+        new = tuple(specs)
+        cur = self._by_type.get(event_type)
+        if cur is None:
+            self._by_type[event_type] = new
+        elif cur != new:
+            raise ConflictingSpec(f"{event_type}: {cur} vs {new}")
+
+    @property
+    def event_types(self) -> list[str]:
+        return sorted(self._by_type)
+
+    def _arg_expr(self, spec: ArgSpec, props_col: Column) -> Column:
+        if spec.source == "col":
+            raw = F.col(spec.key)
+        elif spec.source == "json":
+            raw = F.get_json_object(props_col, f"$.{spec.key}")
+        else:
+            raise ValueError(f"unknown source {spec.source!r}")
+        # canonical string per declared type — longs round-trip through the
+        # integer cast so '069'/'69' normalize identically on both engines
+        if spec.type == "long":
+            return raw.cast("long").cast("string")
+        if spec.type == "string":
+            return raw.cast("string")
+        raise ValueError(f"unknown type {spec.type!r}")
+
+    def args_json_col(self, event_type_col: Column, props_col: Column) -> Column:
+        """JSON array of typed args in CATALOG-DECLARED order; miss → NULL.
+
+        Chained CASE over the (small, static) catalog — whole-stage codegen,
+        no UDF; a large catalog would become a broadcast-joined dimension
+        with a per-type struct schema instead.
+        """
+        expr = F.lit(None).cast("string")
+        for etype in self.event_types:
+            arr = F.array(
+                *[self._arg_expr(s, props_col) for s in self._by_type[etype]]
+            )
+            expr = F.when(event_type_col == etype, F.to_json(arr)).otherwise(expr)
+        return expr

@@ -77,6 +77,7 @@ def synthesize_change_events(
     dup_fraction: float = 0.05,
     delete_fraction: float = 0.02,
     skew_exponent: int = 3,
+    poison_fraction: float = 0.0,
     num_slices: int | None = None,
 ) -> DataFrame:
     """Synthesize ``n_events`` deterministic change events.
@@ -88,6 +89,13 @@ def synthesize_change_events(
     Skew: repo index = floor(n_repos * u^skew_exponent), so repo 0 receives
     ~(1 - (1-1/n_repos)^(1/exp))-ish of the traffic — enough to make an
     unsalted merge-apply visibly lopsided at scale.
+
+    Poison (``poison_fraction`` > 0): a deterministic subset of events gets a
+    corrupted raw payload — half truncated JSON ('payload: malformed json'),
+    half a size field off by one ('size: mismatch vs content') — modeling
+    rows that will NEVER pass retry (the dead-letter case, dataflow.tf:1-31).
+    Corruption keys off the physical event_id, not base_id: redelivery of a
+    good payload stays good.
     """
     base = spark.range(0, n_events, 1, num_slices or spark.sparkContext.defaultParallelism)
     ev = base.withColumn("event_id", F.col("id")).drop("id")
@@ -172,21 +180,31 @@ def synthesize_change_events(
             F.lower(F.hex(F.abs(_h(seed, F.lit("v2"), F.col("base_id"))))),
         ).otherwise(F.lit("")),
     )
+    # poison class B corrupts the declared size (+1) at struct-build time;
+    # class A truncates the serialized JSON below. Both keyed on event_id.
+    poison_roll = _uniform(seed, "poison", F.col("event_id"))
+    poison_a = poison_roll < F.lit(poison_fraction / 2)  # malformed json
+    poison_b = (poison_roll >= F.lit(poison_fraction / 2)) & (
+        poison_roll < F.lit(poison_fraction)
+    )  # size mismatch
+    size_bytes = F.length(F.encode(F.col("_content"), "utf-8"))
+    raw_json = F.to_json(
+        F.struct(
+            F.base64(F.encode(F.col("_content"), "utf-8")).alias("content_b64"),
+            F.concat(
+                F.lit("0x"),
+                F.lower(F.hex(size_bytes + F.when(poison_b, 1).otherwise(0))),
+            ).alias("size"),
+            value_hex.alias("value"),
+            F.concat(
+                F.lit("0x"),
+                F.lower(F.hex(F.pmod(_h(seed, F.lit("mode"), F.col("base_id")), F.lit(0o1000)))),
+            ).alias("mode"),
+        )
+    )
     ev = ev.withColumn(
         "content_raw",
-        F.to_json(
-            F.struct(
-                F.base64(F.encode(F.col("_content"), "utf-8")).alias("content_b64"),
-                F.concat(
-                    F.lit("0x"), F.lower(F.hex(F.length(F.encode(F.col("_content"), "utf-8"))))
-                ).alias("size"),
-                value_hex.alias("value"),
-                F.concat(
-                    F.lit("0x"),
-                    F.lower(F.hex(F.pmod(_h(seed, F.lit("mode"), F.col("base_id")), F.lit(0o1000)))),
-                ).alias("mode"),
-            )
-        ),
+        F.when(poison_a, F.substring(raw_json, 1, 20)).otherwise(raw_json),
     ).drop("_content")
 
     # --- physical log coordinates: partition_id, per-partition offset, ts --

@@ -1,0 +1,324 @@
+"""Multi-table fan-out sink: N typed tables under ONE shared manifest commit.
+
+The reference's core dataflow produces several typed tables from one
+extraction pass — ``PerBlockRecords`` carries 6 record vectors
+(extractor_transformer/src/sonic_config/mod.rs:305-314), each published to
+its own named sink (mod.rs:501-574, streampublisher.rs:29-76) — but each
+table is acked independently, so a crash mid-publish leaves the tables
+mutually inconsistent until the nightly QC DAGs reconcile them
+(daily_qc_airflow/row_counts.py:16-22 joins parent↔child counts to find the
+drift). This module upgrades that: all fan-out tables commit under ONE
+snapshot pointer flip, so every (partition, offset-range) manifest entry is
+either applied to ALL tables or NONE — cross-table atomicity by
+construction, no reconciliation DAG needed.
+
+Layout mirrors :class:`~sonic_etl_spark.sources.table.TransactionalParquetTable`
+(same merge-on-read buckets, field-id schemas, idempotent manifest guard);
+the snapshot json simply carries a ``tables`` map instead of one table's
+metadata, and data files live under ``data/snap-N/<table>/_pb=K``.
+
+At 100 TB: each entry of ``tables`` becomes its own Iceberg table and the
+shared snapshot becomes a multi-table transaction (Iceberg REST catalog
+``commitTransaction`` across tables); the engine-side dataflow — decode once,
+project N ways, one atomic commit — is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+import pyspark.sql.functions as F
+
+from sonic_etl_spark.sources.table import (
+    DATA_DIR,
+    LATEST,
+    SNAP_DIR,
+    CommitConflict,
+    _lww_reduce,
+    read_buckets_projected,
+)
+
+
+@dataclass
+class TableSpec:
+    """Schema + merge identity of one fan-out table."""
+
+    fields: list[tuple[str, str]]  # [(name, ddl_type)]
+    key_cols: list[str]
+    order_cols: list[str]
+    # bucket the data by these columns (default: key_cols) so upserts are
+    # co-located; quarantine-style append-mostly tables can bucket wider
+    bucket_cols: list[str] = field(default_factory=list)
+
+
+class TransactionalTableSet:
+    """N merge-on-read tables sharing one snapshot log + manifest set."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+
+    # ------------------------------------------------------------- snapshots
+    def _latest_path(self) -> str:
+        return os.path.join(self.path, LATEST)
+
+    def latest(self) -> dict | None:
+        p = self._latest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            sid = json.load(f)["snapshot_id"]
+        with open(os.path.join(self.path, SNAP_DIR, f"snap-{sid}.json")) as f:
+            return json.load(f)
+
+    def _commit_snapshot(self, snap: dict, expected_parent: int | None) -> None:
+        cur = self.latest()
+        cur_id = cur["snapshot_id"] if cur else None
+        if cur_id != expected_parent:
+            raise CommitConflict(f"expected parent {expected_parent}, found {cur_id}")
+        sp = os.path.join(self.path, SNAP_DIR, f"snap-{snap['snapshot_id']}.json")
+        with open(sp, "w") as f:
+            json.dump(snap, f)
+        tmp = self._latest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snap["snapshot_id"]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._latest_path())  # atomic on POSIX
+
+    # ---------------------------------------------------------------- create
+    def create(self, tables: dict[str, TableSpec]) -> dict:
+        if self.latest() is not None:
+            return self.latest()
+        tbls = {}
+        for name, spec in tables.items():
+            tbls[name] = {
+                "schemas": [
+                    {
+                        "schema_id": 0,
+                        "fields": [
+                            {"id": i, "name": n, "type": t}
+                            for i, (n, t) in enumerate(spec.fields)
+                        ],
+                    }
+                ],
+                "current_schema_id": 0,
+                "key_cols": spec.key_cols,
+                "order_cols": spec.order_cols,
+                "bucket_cols": spec.bucket_cols or spec.key_cols,
+                "buckets": {},
+            }
+        snap = {
+            "snapshot_id": 1,
+            "parent_id": None,
+            "n_buckets": self.n_buckets,
+            "tables": tbls,
+            "manifests": [],
+            "metrics": {},
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=None)
+        return snap
+
+    # ------------------------------------------------------------- manifests
+    def committed_ranges(self) -> set[tuple[int, int, int]]:
+        snap = self.latest()
+        if snap is None:
+            return set()
+        return {tuple(m) for m in snap["manifests"]}
+
+    # ----------------------------------------------------------------- reads
+    def table_names(self) -> list[str]:
+        snap = self.latest()
+        return sorted(snap["tables"]) if snap else []
+
+    def read(self, name: str, include_tombstones: bool = False) -> DataFrame:
+        snap = self.latest()
+        if snap is None or name not in snap["tables"]:
+            raise FileNotFoundError(f"table {name} not in set {self.path}")
+        tbl = snap["tables"][name]
+        df = read_buckets_projected(
+            self.spark, self.path, tbl, list(tbl["buckets"].keys())
+        )
+        df = _lww_reduce(df, tbl["key_cols"], tbl["order_cols"])
+        if not include_tombstones and "op" in df.columns:
+            df = df.filter(~F.col("op").eqNullSafe("delete"))
+        return df
+
+    # ----------------------------------------------------------------- merge
+    def _write_table_files(
+        self, snap: dict, new_id: int, name: str, df: DataFrame
+    ) -> tuple[str, list[str]]:
+        tbl = snap["tables"][name]
+        n_buckets = snap["n_buckets"]
+        cur = next(
+            s for s in tbl["schemas"] if s["schema_id"] == tbl["current_schema_id"]
+        )
+        projected = df.select(
+            *[F.col(f["name"]).cast(f["type"]).alias(f["name"]) for f in cur["fields"]]
+        )
+        rel = os.path.join(DATA_DIR, f"snap-{new_id}", name)
+        out_dir = os.path.join(self.path, rel)
+        bcols = [F.col(c) for c in tbl["bucket_cols"]]
+        (
+            projected.withColumn(
+                "_pb",
+                F.pmod(F.xxhash64(*bcols), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(max(n_buckets, 1), F.col("_pb"))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = [
+            n.split("=", 1)[1] for n in os.listdir(out_dir) if n.startswith("_pb=")
+        ]
+        return rel, written
+
+    def merge_all(
+        self,
+        updates: dict[str, DataFrame],
+        manifest_entries: list[tuple[int, int, int]],
+        metrics: dict | None = None,
+    ) -> dict:
+        """Apply one batch to every table atomically under one manifest.
+
+        Each ``updates[name]`` must be one-row-per-key for its table (the
+        caller reduces; see streaming.fanout). All tables' delta files are
+        written first (crash ⇒ orphan files, no state change), then ONE
+        pointer flip records every table's new files AND the manifest entries
+        — the cross-table exactly-once guarantee.
+        """
+        t0 = time.time()
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table set {self.path} missing; create() first")
+        unknown = set(updates) - set(parent["tables"])
+        if unknown:
+            raise KeyError(f"unknown tables {sorted(unknown)}")
+        committed = {tuple(m) for m in parent["manifests"]}
+        entries = [tuple(e) for e in manifest_entries]
+        fresh = [e for e in entries if e not in committed]
+        if not fresh:
+            return {"status": "skipped", "snapshot_id": parent["snapshot_id"]}
+
+        new_id = parent["snapshot_id"] + 1
+        tbls = {
+            name: {**tbl, "buckets": {b: dict(e) for b, e in tbl["buckets"].items()}}
+            for name, tbl in parent["tables"].items()
+        }
+        written_counts = {}
+        for name, df in updates.items():
+            rel, written = self._write_table_files(parent, new_id, name, df)
+            tbl = tbls[name]
+            for b in written:
+                ent = tbl["buckets"].setdefault(b, {"files": []})
+                ent["files"] = ent["files"] + [
+                    {
+                        "path": os.path.join(rel, f"_pb={b}"),
+                        "schema_id": tbl["current_schema_id"],
+                    }
+                ]
+            written_counts[name] = len(written)
+
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "n_buckets": parent["n_buckets"],
+            "tables": tbls,
+            "manifests": parent["manifests"] + [list(e) for e in fresh],
+            "metrics": {
+                **(metrics or {}),
+                "buckets_written": written_counts,
+                "apply_sec": round(time.time() - t0, 3),
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {
+            "status": "committed",
+            "snapshot_id": new_id,
+            "buckets_written": written_counts,
+        }
+
+    # ------------------------------------------------------------ compaction
+    def compact(self, max_files_per_bucket: int = 8, force: bool = False) -> dict:
+        """Fold long delta chains per table (merge-on-read maintenance).
+
+        One snapshot commit covers every table's compaction — same atomicity
+        as merge_all. Tombstones are retained (late lower-order upserts must
+        still lose after compaction).
+        """
+        t0 = time.time()
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table set {self.path} does not exist")
+        new_id = parent["snapshot_id"] + 1
+        tbls = {
+            name: {**tbl, "buckets": {b: dict(e) for b, e in tbl["buckets"].items()}}
+            for name, tbl in parent["tables"].items()
+        }
+        total_victims = 0
+        for name, tbl in tbls.items():
+            victims = [
+                b
+                for b, ent in tbl["buckets"].items()
+                if force or len(ent["files"]) > max_files_per_bucket
+            ]
+            if not victims:
+                continue
+            state = _lww_reduce(
+                read_buckets_projected(self.spark, self.path, tbl, victims),
+                tbl["key_cols"],
+                tbl["order_cols"],
+            )
+            rel, written = self._write_table_files(parent, new_id, name, state)
+            stray = set(written) - set(victims)
+            if stray:
+                raise RuntimeError(
+                    f"{name}: compaction wrote buckets {sorted(stray)} outside "
+                    f"victims {sorted(victims)}"
+                )
+            for b in victims:
+                tbl["buckets"].pop(b, None)
+            for b in written:
+                tbl["buckets"][b] = {
+                    "files": [
+                        {
+                            "path": os.path.join(rel, f"_pb={b}"),
+                            "schema_id": tbl["current_schema_id"],
+                        }
+                    ]
+                }
+            total_victims += len(victims)
+        if not total_victims:
+            return {"status": "noop", "snapshot_id": parent["snapshot_id"]}
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "n_buckets": parent["n_buckets"],
+            "tables": tbls,
+            "manifests": parent["manifests"],
+            "metrics": {
+                "compaction": {
+                    "buckets_compacted": total_victims,
+                    "compact_sec": round(time.time() - t0, 3),
+                }
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {
+            "status": "compacted",
+            "snapshot_id": new_id,
+            "buckets_compacted": total_victims,
+        }

@@ -88,6 +88,62 @@ class CommitConflict(Exception):
     """Another writer advanced the table between our read and our commit."""
 
 
+def _schema_by_id(tbl: dict, schema_id: int) -> dict:
+    for s in tbl["schemas"]:
+        if s["schema_id"] == schema_id:
+            return s
+    raise KeyError(f"schema_id {schema_id} not found")
+
+
+def _empty_df_for(spark: SparkSession, tbl: dict) -> DataFrame:
+    cur = _schema_by_id(tbl, tbl["current_schema_id"])
+    ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in cur["fields"])
+    return spark.createDataFrame([], ddl)
+
+
+def read_buckets_projected(
+    spark: SparkSession, base_path: str, tbl: dict, bucket_ids: list[str]
+) -> DataFrame:
+    """Raw (pre-LWW) rows of the given buckets projected to the current
+    schema by FIELD ID: every data file remembers the schema it was written
+    under; columns are renamed/backfilled by id (Iceberg add/rename-safe
+    reads). ``tbl`` is a table-shaped dict: {schemas, current_schema_id,
+    buckets} — either a single-table snapshot or one entry of a
+    TransactionalTableSet snapshot."""
+    cur = _schema_by_id(tbl, tbl["current_schema_id"])
+    cur_names = [f["name"] for f in cur["fields"]]
+    if not bucket_ids:
+        return _empty_df_for(spark, tbl)
+    by_schema: dict[int, list[str]] = {}
+    for b in bucket_ids:
+        ent = tbl["buckets"].get(str(b))
+        if ent is None:
+            continue
+        for fent in ent["files"]:
+            by_schema.setdefault(fent["schema_id"], []).append(fent["path"])
+    parts = []
+    for schema_id, rels in by_schema.items():
+        if not rels:
+            continue
+        raw = spark.read.parquet(*[os.path.join(base_path, r) for r in rels])
+        written = _schema_by_id(tbl, schema_id)
+        name_at_write = {f["id"]: f["name"] for f in written["fields"]}
+        cols = []
+        for f in cur["fields"]:
+            old = name_at_write.get(f["id"])
+            if old is not None and old in raw.columns:
+                cols.append(F.col(old).cast(f["type"]).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        parts.append(raw.select(*cols))
+    if not parts:
+        return _empty_df_for(spark, tbl)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*cur_names)
+
+
 class TransactionalParquetTable:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
         self.spark = spark
@@ -199,45 +255,14 @@ class TransactionalParquetTable:
         df = self._read_buckets(snap, list(snap["buckets"].keys()))
         df = _lww_reduce(df, snap["key_cols"], snap["order_cols"])
         if not include_tombstones and "op" in df.columns:
-            df = df.filter(F.col("op") != F.lit("delete"))
+            # null-safe: a NULL op (producer lacked the column; backfilled by
+            # the field-id projection) is NOT a tombstone and must survive
+            df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
 
     def _read_buckets(self, snap: dict, bucket_ids: list[str]) -> DataFrame:
         """Raw (pre-LWW) rows of the given buckets under the current schema."""
-        cur = self._current_schema(snap)
-        cur_names = [f["name"] for f in cur["fields"]]
-        if not bucket_ids:
-            return self._empty_df(snap)
-        # group data files by the schema they were written under; rename
-        # columns by field id to current names, backfill added columns
-        by_schema: dict[int, list[str]] = {}
-        for b in bucket_ids:
-            ent = snap["buckets"].get(str(b))
-            if ent is None:
-                continue
-            for fent in ent["files"]:
-                by_schema.setdefault(fent["schema_id"], []).append(fent["path"])
-        parts = []
-        for schema_id, rels in by_schema.items():
-            if not rels:
-                continue
-            raw = self.spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
-            written = self._schema_by_id(snap, schema_id)
-            name_at_write = {f["id"]: f["name"] for f in written["fields"]}
-            cols = []
-            for f in cur["fields"]:
-                old = name_at_write.get(f["id"])
-                if old is not None and old in raw.columns:
-                    cols.append(F.col(old).cast(f["type"]).alias(f["name"]))
-                else:
-                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-            parts.append(raw.select(*cols))
-        if not parts:
-            return self._empty_df(snap)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(*cur_names)
+        return read_buckets_projected(self.spark, self.path, snap, bucket_ids)
 
     # ------------------------------------------------------------- manifests
     def committed_ranges(self) -> set[tuple[int, int, int]]:
@@ -272,18 +297,20 @@ class TransactionalParquetTable:
         return updates.select(*proj)
 
     def _write_bucket_files(
-        self, snap_id: int, df: DataFrame, n_partitions: int
+        self, snap_id: int, df: DataFrame, n_partitions: int, n_buckets: int | None = None
     ) -> tuple[str, list[str]]:
         """Write df (already projected) bucket-partitioned under data/snap-N.
 
         Returns (rel_dir, bucket_ids_written). ``_pb`` is the partition
         directory column only — parquet files contain exactly the schema
-        columns.
+        columns. ``n_buckets`` must be the SNAPSHOT's bucket count (not the
+        constructor's): reopening a table with a different constructor value
+        must not rehash rows into foreign bucket ids.
         """
         rel = os.path.join(DATA_DIR, f"snap-{snap_id}")
         out_dir = os.path.join(self.path, rel)
         (
-            df.withColumn("_pb", _bucket_expr(self.n_buckets))
+            df.withColumn("_pb", _bucket_expr(n_buckets or self.n_buckets))
             .repartition(n_partitions, F.col("_pb"))
             .write.partitionBy("_pb")
             .mode("overwrite")
@@ -327,9 +354,12 @@ class TransactionalParquetTable:
         # (max-merge is idempotent); only the fresh ranges are recorded.
 
         new_id = parent["snapshot_id"] + 1
+        # adopt the snapshot's bucket count: a reopened table with a different
+        # constructor n_buckets must keep hashing rows into the recorded layout
+        n_buckets = parent.get("n_buckets", self.n_buckets)
         projected = self._project_to_current(parent, updates)
         rel, written = self._write_bucket_files(
-            new_id, projected, n_partitions=max(self.n_buckets, 1)
+            new_id, projected, n_partitions=max(n_buckets, 1), n_buckets=n_buckets
         )
 
         buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
@@ -347,7 +377,7 @@ class TransactionalParquetTable:
             "parent_id": parent["snapshot_id"],
             "schemas": parent["schemas"],
             "current_schema_id": parent["current_schema_id"],
-            "n_buckets": self.n_buckets,
+            "n_buckets": n_buckets,
             "key_cols": key_cols or parent["key_cols"],
             "order_cols": order_cols or parent["order_cols"],
             "buckets": buckets,
@@ -394,14 +424,25 @@ class TransactionalParquetTable:
             return {"status": "noop", "snapshot_id": parent["snapshot_id"]}
 
         new_id = parent["snapshot_id"] + 1
+        # snapshot's bucket count, NOT the constructor's: compacting a
+        # reopened table with a mismatched self.n_buckets would rehash victim
+        # rows into non-victim bucket ids and silently drop those buckets'
+        # delta files when the entries are replaced below.
+        n_buckets = parent.get("n_buckets", self.n_buckets)
         state = _lww_reduce(
             self._read_buckets(parent, victims),
             parent["key_cols"],
             parent["order_cols"],
         )
         rel, written = self._write_bucket_files(
-            new_id, state, n_partitions=max(len(victims), 1)
+            new_id, state, n_partitions=max(len(victims), 1), n_buckets=n_buckets
         )
+        stray = set(written) - set(victims)
+        if stray:
+            raise RuntimeError(
+                f"compaction wrote bucket ids {sorted(stray)} outside the "
+                f"victim set {sorted(victims)} — bucket layout corrupted"
+            )
 
         buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
         for b in victims:
@@ -420,7 +461,7 @@ class TransactionalParquetTable:
             "parent_id": parent["snapshot_id"],
             "schemas": parent["schemas"],
             "current_schema_id": parent["current_schema_id"],
-            "n_buckets": self.n_buckets,
+            "n_buckets": n_buckets,
             "key_cols": parent["key_cols"],
             "order_cols": parent["order_cols"],
             "buckets": buckets,
@@ -476,7 +517,7 @@ class TransactionalParquetTable:
             "parent_id": parent["snapshot_id"],
             "schemas": parent["schemas"] + [new_schema],
             "current_schema_id": new_schema["schema_id"],
-            "n_buckets": self.n_buckets,
+            "n_buckets": parent.get("n_buckets", self.n_buckets),
             "key_cols": remap(parent["key_cols"]),
             "order_cols": remap(parent["order_cols"]),
             "buckets": parent["buckets"],

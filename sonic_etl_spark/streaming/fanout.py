@@ -1,0 +1,206 @@
+"""Fan-out replay: one decoded scan → N typed tables + quarantine,
+atomically committed per batch.
+
+Reference analogs being re-expressed Spark-first:
+
+- one extraction pass feeding several typed tables
+  (``PerBlockRecords``, mod.rs:305-314; per-table publish mod.rs:501-574;
+  six named sinks streampublisher.rs:29-76) — here ONE
+  ``decode_change_events`` scan is projected three ways and committed under
+  one shared manifest (sources/multitable.py), closing the reference's
+  crash-between-publishes inconsistency window;
+- the dead-letter topic for rows that will never pass retry
+  (iac/terraform/dataflow.tf:1-31, pubsub.tf): ``on_error='quarantine'``
+  routes field-attributed bad rows (transformation/err.rs:1-31 error shape)
+  to the ``quarantine`` table instead of wedging the partition on a poison
+  row, while ``on_error='fail'`` keeps the reference's fail-the-batch
+  semantics.
+
+Fan-out tables:
+
+- ``source_code``   — converged file state, key (repo, path), LWW
+  (identical to the single-table replay output);
+- ``file_versions`` — per-version history, key (repo, path, commit):
+  at-least-once redeliveries of the same version collapse (dedup), but
+  every distinct version survives — the raw append+dedupe table the
+  reference converges nightly (daily_dedupe_mainnet.py:65-81);
+- ``quarantine``    — dead-letter rows keyed by (partition_id, offset) with
+  the field-attributed ``decode_error``.
+
+Scale shape per batch: one parquet scan with pushed-down range predicates,
+one Arrow decode stage, then three INDEPENDENT narrow projections + salted
+LWW shuffles (each shuffles only its own key set; the quarantine projection
+carries no content payload). Writes stay O(batch) via merge-on-read deltas.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sonic_etl_spark.functions.codec import decode_change_events
+from sonic_etl_spark.operators.merge import (
+    KEY_COLS,
+    ORDER_COLS,
+    SOURCE_CODE_FIELDS,
+    assert_no_decode_errors,
+    reduce_batch,
+    salted_lww,
+)
+from sonic_etl_spark.plans.planner import filter_to_manifests, log_heads, plan_batches
+from sonic_etl_spark.sources.multitable import TableSpec, TransactionalTableSet
+from sonic_etl_spark.streaming.replay import ReplayResult
+
+FILE_VERSION_FIELDS: list[tuple[str, str]] = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content_sha256", "string"),
+    ("size_bytes", "bigint"),
+    ("op", "string"),
+    ("ts", "timestamp"),
+    ("last_offset", "bigint"),
+    ("last_partition_id", "int"),
+]
+
+QUARANTINE_FIELDS: list[tuple[str, str]] = [
+    ("partition_id", "int"),
+    ("offset", "bigint"),
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("decode_error", "string"),
+    ("ts", "timestamp"),
+]
+
+FANOUT_SPECS: dict[str, TableSpec] = {
+    "source_code": TableSpec(
+        fields=SOURCE_CODE_FIELDS, key_cols=KEY_COLS, order_cols=ORDER_COLS
+    ),
+    "file_versions": TableSpec(
+        fields=FILE_VERSION_FIELDS,
+        key_cols=["repo", "path", "commit"],
+        order_cols=["last_offset", "last_partition_id"],
+        # bucket by (repo, path) so version history co-locates with state
+        bucket_cols=["repo", "path"],
+    ),
+    "quarantine": TableSpec(
+        fields=QUARANTINE_FIELDS,
+        key_cols=["partition_id", "offset"],
+        order_cols=["offset"],
+    ),
+}
+
+
+def project_file_versions(typed: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Decoded batch → one row per (repo, path, commit) version."""
+    projected = typed.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha256",
+        "size_bytes",
+        "op",
+        "ts",
+        F.col("offset").alias("last_offset"),
+        F.col("partition_id").alias("last_partition_id"),
+    )
+    return salted_lww(
+        projected,
+        ["repo", "path", "commit"],
+        ["last_offset", "last_partition_id"],
+        salt_col="last_offset",
+        salt_buckets=salt_buckets,
+    )
+
+
+def project_quarantine(typed: DataFrame) -> DataFrame:
+    """Bad rows → dead-letter shape. (partition_id, offset) is unique per
+    event, so no reduction is needed beyond the projection."""
+    return typed.filter(F.col("decode_error").isNotNull()).select(
+        "partition_id",
+        "offset",
+        "repo",
+        "path",
+        "commit",
+        "decode_error",
+        "ts",
+    )
+
+
+def replay_fanout(
+    change_log: DataFrame,
+    tables: TransactionalTableSet,
+    *,
+    chunk_size: int = 100_000,
+    max_batches: int | None = None,
+    on_error: str = "fail",
+    salt_buckets: int = 16,
+    stop_requested: Callable[[], bool] | None = None,
+    crash_after_batches: int | None = None,
+    compact_threshold: int | None = 16,
+) -> ReplayResult:
+    """Replay all uncommitted ranges into the fan-out table set.
+
+    ``on_error``: 'fail' aborts the batch on any decode error (the
+    reference's fail-the-batch, err.rs:1-31); 'quarantine' routes bad rows
+    to the dead-letter table and applies the clean rows — both under the
+    SAME atomic commit, so a poison row neither wedges its partition nor
+    escapes the manifest's exactly-once accounting.
+    """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
+    tables.create(FANOUT_SPECS)
+    heads = log_heads(change_log)
+    batches = plan_batches(heads, tables.committed_ranges(), chunk_size)
+    if max_batches is not None:
+        batches = batches[:max_batches]
+
+    res = ReplayResult()
+    t0 = time.time()
+    for i, manifest in enumerate(batches):
+        if stop_requested is not None and stop_requested():
+            break
+        if crash_after_batches is not None and res.batches_applied >= crash_after_batches:
+            raise RuntimeError("injected crash (test hook)")
+        bt0 = time.time()
+        raw = filter_to_manifests(change_log, manifest)
+        typed = decode_change_events(raw)
+        if on_error == "fail":
+            n_rows = assert_no_decode_errors(typed)
+            clean = typed
+            quarantined = project_quarantine(typed.limit(0))
+        else:
+            clean = typed.filter(F.col("decode_error").isNull())
+            quarantined = project_quarantine(typed)
+            n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
+        updates = {
+            "source_code": reduce_batch(clean, salt_buckets=salt_buckets),
+            "file_versions": project_file_versions(clean, salt_buckets),
+            "quarantine": quarantined,
+        }
+        bm = {
+            "batch_index": i,
+            "manifest": [list(m) for m in manifest],
+            "rows": n_rows,
+        }
+        status = tables.merge_all(updates, manifest, metrics=bm)
+        bm["elapsed_sec"] = round(time.time() - bt0, 3)
+        bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
+        bm["status"] = status["status"]
+        res.batch_metrics.append(bm)
+        if status["status"] == "committed":
+            res.batches_applied += 1
+            res.rows_seen += n_rows
+            if compact_threshold is not None:
+                tables.compact(max_files_per_bucket=compact_threshold)
+        else:
+            res.batches_skipped += 1
+    res.elapsed_sec = round(time.time() - t0, 3)
+    res.events_per_sec = round(res.rows_seen / max(res.elapsed_sec, 1e-9), 1)
+    return res

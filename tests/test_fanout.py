@@ -1,0 +1,149 @@
+"""Fan-out replay tests: one decode pass → 3 tables under ONE shared
+manifest commit (mod.rs:305-314 / streampublisher.rs:29-76 analog), with
+cross-table atomicity, poison-row quarantine (dead-letter,
+dataflow.tf:1-31), and parent/child invariants (row_counts.py:85-102)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sonic_etl_spark.functions import decode_change_events
+from sonic_etl_spark.log import synthesize_change_events
+from sonic_etl_spark.operators import reduce_batch
+from sonic_etl_spark.sources.multitable import TransactionalTableSet
+from sonic_etl_spark.streaming.fanout import (
+    project_file_versions,
+    replay_fanout,
+)
+
+N = 4000
+POISON = 0.03
+
+
+def _state_hash(df):
+    cols = sorted(df.columns)
+    return (
+        df.select(
+            F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), 256).alias("h")
+        )
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10)).alias("s"))
+        .first()["s"]
+    )
+
+
+@pytest.fixture(scope="module")
+def log_df(spark):
+    df = synthesize_change_events(spark, N, poison_fraction=POISON).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle_hashes(log_df):
+    """One-shot projections over the whole log — no batching, no manifests."""
+    typed = decode_change_events(log_df)
+    clean = typed.filter(F.col("decode_error").isNull())
+    return {
+        "source_code": _state_hash(reduce_batch(clean).filter("op != 'delete'")),
+        "file_versions": _state_hash(
+            project_file_versions(clean).filter("op != 'delete'")
+        ),
+        "n_poison": typed.filter(F.col("decode_error").isNotNull()).count(),
+    }
+
+
+def _all_hashes(ts):
+    return {
+        "source_code": _state_hash(ts.read("source_code")),
+        "file_versions": _state_hash(ts.read("file_versions")),
+    }
+
+
+def test_fanout_converges_and_quarantines(spark, tmp_path, log_df, oracle_hashes):
+    ts = TransactionalTableSet(spark, str(tmp_path / "f1"), n_buckets=8)
+    res = replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    assert res.batches_applied > 1
+    assert _all_hashes(ts) == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+    q = ts.read("quarantine")
+    assert q.count() == oracle_hashes["n_poison"] > 0
+    classes = {r["decode_error"] for r in q.select("decode_error").distinct().collect()}
+    assert classes == {"payload: malformed json", "size: mismatch vs content"}
+
+
+def test_poison_rows_do_not_wedge_partitions(spark, tmp_path, log_df):
+    """Every planned range commits despite poison rows in most batches —
+    the dead-letter upgrade over fail-the-batch."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f2"), n_buckets=8)
+    res = replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    assert res.batches_skipped == 0
+    # all offsets accounted for: committed ranges cover the whole log
+    covered = sum(e - s + 1 for (_p, s, e) in ts.committed_ranges())
+    assert covered == N
+
+
+def test_fail_mode_keeps_reference_semantics(spark, tmp_path, log_df):
+    ts = TransactionalTableSet(spark, str(tmp_path / "f3"), n_buckets=8)
+    with pytest.raises(ValueError, match="decode failed"):
+        replay_fanout(log_df, ts, chunk_size=500, on_error="fail")
+    with pytest.raises(ValueError, match="on_error"):
+        replay_fanout(log_df, ts, chunk_size=500, on_error="explode")
+
+
+def test_crash_leaves_tables_mutually_consistent(spark, tmp_path, log_df, oracle_hashes):
+    """Cross-table atomicity: a crash mid-replay leaves ALL tables at the
+    same committed manifest frontier (no partially-published fan-out), and
+    resume converges to the one-shot state."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f4"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay_fanout(
+            log_df, ts, chunk_size=200, on_error="quarantine", crash_after_batches=2
+        )
+    snap = ts.latest()
+    committed = {tuple(m) for m in snap["manifests"]}
+    assert len(committed) > 0
+    # every table's rows lie within the committed ranges — none ahead, none behind
+    for name in ("source_code", "file_versions"):
+        off = ts.read(name).select(
+            F.col("last_partition_id").alias("p"), F.col("last_offset").alias("o")
+        )
+        from functools import reduce as freduce
+
+        in_committed = freduce(
+            lambda a, b: a | b,
+            [
+                (F.col("p") == p) & (F.col("o") >= s) & (F.col("o") <= e)
+                for (p, s, e) in committed
+            ],
+        )
+        bad = off.filter(~in_committed).count()
+        assert bad == 0, f"{name} has rows outside committed manifests"
+    res = replay_fanout(log_df, ts, chunk_size=500, on_error="quarantine")
+    assert res.batches_applied > 0
+    assert _all_hashes(ts) == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+
+
+def test_parent_child_invariant(spark, tmp_path, log_df):
+    """row_counts.py:85-102 analog: every converged source_code version must
+    exist in file_versions (child covers parent)."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f5"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=1000, on_error="quarantine")
+    sc = ts.read("source_code").select("repo", "path", "commit")
+    fv = ts.read("file_versions").select("repo", "path", "commit")
+    orphans = sc.join(fv, ["repo", "path", "commit"], "left_anti").count()
+    assert orphans == 0
+
+
+def test_compaction_preserves_state(spark, tmp_path, log_df, oracle_hashes):
+    ts = TransactionalTableSet(spark, str(tmp_path / "f6"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  compact_threshold=None)
+    before = _all_hashes(ts)
+    out = ts.compact(force=True)
+    assert out["status"] == "compacted"
+    assert _all_hashes(ts) == before == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }

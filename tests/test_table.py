@@ -170,3 +170,41 @@ def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
         json.dump(orphan, f)
     assert tab.latest()["snapshot_id"] == latest_before
     assert tab.read().count() == 1
+
+
+def test_reopen_with_different_n_buckets_is_safe(spark, tmp_path):
+    """merge()/compact() must adopt the SNAPSHOT's bucket count: reopening
+    with a different constructor n_buckets used to rehash victim rows into
+    non-victim bucket ids during compaction and silently drop delta files."""
+    path = str(tmp_path / "t")
+    tab = TransactionalParquetTable(spark, path, n_buckets=8)
+    tab.create(FIELDS)
+    rows = [(f"r{i}", f"p{i}", f"c{i:02d}" * 10, f"v{i}", "upsert", i, 0) for i in range(40)]
+    for i in range(0, 40, 10):
+        tab.merge(_df(spark, rows[i : i + 10]), [(0, i, i + 9)], KEYS, ORDER)
+    before = _state(tab)
+    assert len(before) == 40
+
+    # reopen with a MISMATCHED constructor value; merge + forced compaction
+    reopened = TransactionalParquetTable(spark, path, n_buckets=3)
+    extra = [("rX", "pX", "cX" * 10, "vX", "upsert", 99, 0)]
+    reopened.merge(_df(spark, extra), [(0, 99, 99)], KEYS, ORDER)
+    reopened.compact(force=True)
+    assert reopened.latest()["n_buckets"] == 8  # snapshot layout preserved
+    after = _state(reopened)
+    assert len(after) == 41
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_null_op_rows_survive_read(spark, tmp_path):
+    """Rows whose op is NULL (producer lacked the column; backfilled by the
+    field-id projection) are NOT tombstones and must not vanish."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tab.create(FIELDS)
+    df = spark.createDataFrame(
+        [("r", "a", "c1" * 20, "v1", 1, 0)],
+        "repo string, path string, commit string, content string,"
+        " last_offset bigint, last_partition_id int",
+    )  # no op column at all -> projected to NULL
+    tab.merge(df, [(0, 0, 0)], KEYS, ORDER)
+    assert tab.read().count() == 1
