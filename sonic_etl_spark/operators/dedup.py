@@ -74,17 +74,38 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     )
 
 
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", n: int = 3, top_k: int | None = None,
-    threshold: float | None = None,
+    threshold: float | None = None, max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity via shingle co-occurrence join.
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b. With ``top_k``, keeps
     the k most-similar pairs (ties broken by (doc_a, doc_b)); with
     ``threshold``, keeps pairs ≥ threshold.
+
+    ``max_doc_freq`` caps shingle document-frequency BEFORE the self-join:
+    a stop-shingle shared by 10^6 docs contributes 10^6² candidate rows to
+    its bucket — quadratic blowup on exactly the shingles that carry no
+    similarity signal (same reason the band buckets at
+    :func:`lsh_band_buckets` stay uniform). Capped shingles are dropped
+    from BOTH the intersection and the per-doc sizes, so the measure is the
+    Jaccard of the capped shingle sets (consistent, deterministic; standard
+    df-cut practice). None disables.
     """
     sh = doc_shingles(df, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        # hot set is tiny by construction → broadcast anti-join, no shuffle
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -109,10 +109,28 @@ def brute_force_topk(
     )
 
 
+TOP_PAIRS_MAX_ROWS = 20_000
+
+
 def top_pairs(
-    emb: DataFrame, top_k: int = 50, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, top_k: int = 50, id_col: str = "vec_id", vec_col: str = "embedding",
+    allow_large: bool = False,
 ) -> DataFrame:
-    """Most-similar distinct pairs by exact cosine (near-dup detection)."""
+    """Most-similar distinct pairs by EXACT all-pairs cosine.
+
+    O(n²) cross join — a re-rank/verification tool for small inputs only
+    (≤ ``TOP_PAIRS_MAX_ROWS`` rows unless ``allow_large``); at corpus scale
+    use :func:`near_dup_pairs`, which finds candidates through the LSH
+    bucket equi-join and re-ranks only those. The guard is a driver-side
+    count (O(1) control-plane aggregate, not a data collect)."""
+    if not allow_large:
+        n = emb.count()
+        if n > TOP_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"top_pairs is all-pairs O(n²); input has {n} rows "
+                f"(max {TOP_PAIRS_MAX_ROWS}). Use near_dup_pairs for the "
+                "bucketed scale path, or pass allow_large=True."
+            )
     a = emb.select(F.col(id_col).alias("vec_a"), normalized(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), normalized(F.col(vec_col)).alias("vb"))
     pairs = (
@@ -124,6 +142,42 @@ def top_pairs(
         )
     )
     return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(top_k)
+
+
+def near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, top_k: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs at scale: LSH-bucket candidates → exact cosine
+    re-rank → threshold.
+
+    Candidate generation is an equi-join on the P-bit hyperplane bucket
+    (one shuffle on a ~uniform key; no cross join ever materializes), then
+    only colliding pairs pay the exact dot product. Recall follows the LSH
+    collision bound (near-identical vectors agree on every plane with
+    prob → 1), precision is exact because of the re-rank. This is the
+    production replacement for :func:`top_pairs` at 10^9 vectors.
+    """
+    indexed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        normalized(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot(F.col("a.nv"), F.col("b.nv")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    if top_k is not None:
+        pairs = pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(top_k)
+    return pairs
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[int]] | None = None) -> Column:
@@ -146,6 +200,49 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddin
     return emb.select(
         F.col(id_col).alias("vec_id"), lsh_bucket(F.col(vec_col)).alias("bucket")
     )
+
+
+def lsh_probe_buckets(
+    vec_col: Column, n_probes: int = 1, planes: list[list[int]] | None = None
+) -> Column:
+    """Multi-probe bucket list (array<int>): the vector's own bucket plus
+    the buckets reached by flipping its (n_probes - 1) LEAST-CONFIDENT
+    plane bits — the planes whose |⟨v, w_p⟩| is smallest, i.e. where a true
+    neighbor most plausibly landed on the other side. Classic multi-probe
+    LSH: recall of a (n_probes)×-larger index scan without rebuilding or
+    widening the index itself. Pure column expressions (array_sort over
+    (|dot|, p) structs), no UDF."""
+    planes = planes or PLANES
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    dots = []
+    for row in planes:
+        w = F.array(*[F.lit(float(x)) for x in row])
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+    bucket = None
+    for p, d in enumerate(dots):
+        bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    bucket = bucket.cast("int")
+    # (|dot|, flipped-bucket) per plane, sorted by confidence ascending —
+    # the flip is precomputed per plane so the sort carries the result
+    confidence = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("a"),
+                    bucket.bitwiseXOR(F.lit(1 << p)).cast("int").alias("b"),
+                )
+                for p, d in enumerate(dots)
+            ]
+        )
+    )
+    flips = F.slice(confidence, 1, max(n_probes - 1, 0))
+    probes = F.transform(flips, lambda s: s["b"])
+    return F.concat(F.array(bucket), probes)
 
 
 def ivf_assign(
@@ -182,24 +279,43 @@ def ivf_assign(
 
 def ann_topk_ivf(
     emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int = 16,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_probes: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k via IVF cells (single-probe): candidates share the query's
-    centroid; exact cosine re-rank. Same join shape as the LSH variant —
-    equi-join on a uniform-ish cell id instead of a hyperplane bucket."""
+    """ANN top-k via IVF cells: candidates share one of the query's
+    ``n_probes`` NEAREST centroids (multi-probe); exact cosine re-rank.
+    Same join shape as the LSH variant — equi-join on a uniform-ish cell id
+    instead of a hyperplane bucket; the probe fan-out multiplies only the
+    (small, broadcast) query side, never the corpus."""
     assigned = ivf_assign(emb, n_centroids, id_col, vec_col).select(
         "vec_id", "centroid_id"
     )
     indexed = emb.select(
         F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv")
     ).join(assigned, "vec_id")
-    q = indexed.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("nv").alias("qv"),
-        F.col("centroid_id"),
+
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), normalized(F.col(vec_col)).alias("cv")
+    )
+    qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), normalized(F.col(vec_col)).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("centroid_id")
+    )
+    probes = (
+        qvecs.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            dot(F.col("qv"), F.col("cv")).alias("probe_cos"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qv", "centroid_id")
     )
     scored = (
-        F.broadcast(q)
+        F.broadcast(probes)
         .join(indexed, on="centroid_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
@@ -207,6 +323,7 @@ def ann_topk_ivf(
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
         )
+        .distinct()  # a neighbor reachable via 2 probes must score once
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -217,24 +334,29 @@ def ann_topk_ivf(
 
 
 def ann_topk_lsh(
-    emb: DataFrame, query_ids: list[int], k: int = 5,
+    emb: DataFrame, query_ids: list[int], k: int = 5, n_probes: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates from the query's LSH bucket, exact re-rank.
+    """ANN top-k: candidates from the query's LSH bucket(s), exact re-rank.
 
-    Recall < 1 by design (single-probe); scale path for billion-row corpora —
-    the bucket equi-join shuffles once on a uniform key instead of a cross
-    join.
+    ``n_probes`` > 1 enables multi-probe (see :func:`lsh_probe_buckets`):
+    the query additionally searches the buckets across its least-confident
+    hyperplanes, recovering most of the recall a single probe loses. The
+    probe fan-out happens on the (small, broadcast) query side only — the
+    corpus keeps exactly one bucket per vector and shuffles once.
     """
     indexed = emb.select(
         F.col(id_col).alias("vec_id"),
         normalized(F.col(vec_col)).alias("vec"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
-    q = indexed.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("bucket"),
+    q = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            normalized(F.col(vec_col)).alias("qv"),
+            F.explode(lsh_probe_buckets(F.col(vec_col), n_probes)).alias("bucket"),
+        )
     )
     scored = (
         F.broadcast(q)
@@ -245,6 +367,7 @@ def ann_topk_lsh(
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot(F.col("qv"), F.col("vec")), 6).alias("cos_sim"),
         )
+        .distinct()  # probe buckets are distinct, but stay defensive
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

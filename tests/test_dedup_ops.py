@@ -63,3 +63,30 @@ def test_simhash_deterministic_and_equal_for_dups(spark):
     # stable across runs (portable md5-based hashing, no RNG)
     out2 = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash16(df).collect()}
     assert out == out2
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    """A stop-shingle shared by every doc must not make the self-join
+    quadratic: with max_doc_freq it is cut from candidates AND sizes."""
+    common = "the quick brown"  # one shingle all docs share
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(30)]
+    df = _docs(spark, rows)
+    # uncapped: the shared shingle alone creates C(30,2)=435 candidate pairs
+    uncapped = dedup_ops.ngram_jaccard_pairs(df, max_doc_freq=None)
+    assert uncapped.count() == 435
+    # capped at 10: the hot shingle is dropped; remaining shingles are
+    # doc-unique, so NO candidate pairs survive
+    capped = dedup_ops.ngram_jaccard_pairs(df, max_doc_freq=10)
+    assert capped.count() == 0
+
+
+def test_jaccard_df_cap_keeps_true_near_dups(spark):
+    """Near-identical docs still pair under the cap (their shingles are
+    rare); only corpus-wide stop-shingles are cut."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),  # near-dup of 1
+    ] + [(i, f"filler{i} words{i} here{i} now{i}") for i in range(3, 20)]
+    out = dedup_ops.ngram_jaccard_pairs(_docs(spark, rows), max_doc_freq=10)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4

@@ -86,3 +86,84 @@ def test_ivf_assign_and_ann(spark):
     rows = sim_ops.ann_topk_ivf(df, query_ids=[2], k=3, n_centroids=2).collect()
     # same-cell candidate (vec 0) found; other-cell vectors absent
     assert {r["neighbor_id"] for r in rows} == {0}
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=40, dim=16, seed=7):
+    """Deterministic clustered vectors — the regime ANN indexes are built
+    for (random vectors are adversarial for any LSH/IVF: their neighbors
+    are near-uniform over buckets, so 'recall' is meaningless there)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # interleave clusters by id (vid % n_clusters) so the IVF convention of
+    # 'first 16 ids are the coarse centroids' covers every cluster
+    for vid in range(n_clusters * per_cluster):
+        c = vid % n_clusters
+        v = centers[c] + 0.15 * rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _recall(ann_rows, exact_rows):
+    ann = {}
+    for r in ann_rows:
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ann.get(q, set()) & s) for q, s in exact.items())
+    total = sum(len(s) for s in exact.values())
+    return hits / total
+
+
+def test_multiprobe_lsh_recall(spark):
+    df = _clustered_corpus(spark)
+    qids = [0, 45, 90, 135, 180, 225, 270, 315]
+    exact = sim_ops.brute_force_topk(df, qids, k=5).collect()
+    single = sim_ops.ann_topk_lsh(df, qids, k=5, n_probes=1).collect()
+    multi = sim_ops.ann_topk_lsh(df, qids, k=5, n_probes=4).collect()
+    r1, r4 = _recall(single, exact), _recall(multi, exact)
+    assert r4 >= r1
+    assert r4 >= 0.9, f"multi-probe LSH recall {r4:.2f} < 0.9 (single {r1:.2f})"
+
+
+def test_multiprobe_ivf_recall(spark):
+    df = _clustered_corpus(spark)
+    qids = [20, 60, 100, 140, 200, 260, 300]
+    exact = sim_ops.brute_force_topk(df, qids, k=5).collect()
+    single = sim_ops.ann_topk_ivf(df, qids, k=5, n_probes=1).collect()
+    multi = sim_ops.ann_topk_ivf(df, qids, k=5, n_probes=4).collect()
+    r1, r4 = _recall(single, exact), _recall(multi, exact)
+    assert r4 >= r1
+    assert r4 >= 0.9, f"multi-probe IVF recall {r4:.2f} < 0.9 (single {r1:.2f})"
+
+
+def test_near_dup_pairs_finds_planted_dups(spark):
+    df = _clustered_corpus(spark, n_clusters=4, per_cluster=10)
+    # plant two exact near-dups of vector 0
+    base = {r["vec_id"]: r["embedding"] for r in df.collect()}[0]
+    extra = spark.createDataFrame(
+        [(1000, [x * 1.001 for x in base]), (1001, [x * 0.999 for x in base])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sim_ops.near_dup_pairs(df.union(extra), threshold=0.999)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert {(0, 1000), (0, 1001), (1000, 1001)} <= got
+
+
+def test_top_pairs_guard(spark):
+    import pytest
+
+    df = _clustered_corpus(spark, n_clusters=2, per_cluster=5)
+    sim_ops.top_pairs(df, top_k=3)  # small input: fine
+    old = sim_ops.TOP_PAIRS_MAX_ROWS
+    sim_ops.TOP_PAIRS_MAX_ROWS = 5
+    try:
+        with pytest.raises(ValueError, match="near_dup_pairs"):
+            sim_ops.top_pairs(df, top_k=3)
+        sim_ops.top_pairs(df, top_k=3, allow_large=True)  # escape hatch
+    finally:
+        sim_ops.TOP_PAIRS_MAX_ROWS = old
