@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted for the non-SQL-expressible
-    ops (mapInPandas codec, single-probe ANN, engine-synthesized CDC replay)."""
+    """DuckDB-equivalent SQL per query; omitted only for the genuinely
+    non-SQL-expressible ops (the mapInPandas media codec and the
+    approximate-by-design multi-probe ANN top-k). The CDC replay/fanout
+    queries ARE oracled: they materialize their synthesized log to parquet
+    and the SQL replays it independently."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

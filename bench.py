@@ -21,7 +21,8 @@ A peak-parallelism run (local[32]) is also reported for absolute throughput.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (query-run parallelism, default 32),
-SPARK_GRAFT_BENCH_EVENTS (replay size, default 2_000_000),
+SPARK_GRAFT_BENCH_EVENTS (replay size, default 10_000_000 — matches the
+N_EVENTS default below; don't shrink it, efficiency dilutes at 2M),
 SPARK_GRAFT_BENCH_SKIP_SCALING=1 (skip the second replay run).
 """
 
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     "simhash16",
     "emb_cosine_topk",
     "ann_lsh_buckets",
+    "near_dup_pairs",
 ]
 
 

@@ -52,8 +52,6 @@ def islands(ids: DataFrame, id_col: str) -> DataFrame:
 
     Classic gaps-and-islands: ``id - row_number()`` is constant within a run.
     """
-    w = Window.orderBy(id_col)
-    grp = (F.col(id_col) - F.row_number().over(w)).alias("_grp")
     return (
         ids.select(F.col(id_col).cast("long").alias("_id"))
         .select("_id", (F.col("_id") - F.row_number().over(Window.orderBy("_id"))).alias("_grp"))

@@ -119,6 +119,8 @@ def repair_gaps(
     *,
     chunk_size: int = 100_000,
     salt_buckets: int = 16,
+    validate: bool = True,
+    compact_threshold: int | None = 16,
 ) -> ReplayResult:
     """Backfill offset gaps inside the committed manifest set (ST5 analog of
     the daily backfill DAG, daily_backfill_mainnet.py:102-160).
@@ -128,6 +130,10 @@ def repair_gaps(
     replaying a pruned table). Each gap run becomes its own micro-batch
     through the normal decode→reduce→merge path; LWW max-merge makes
     re-application of any overlapping rows harmless.
+
+    Mirrors :func:`replay`'s merge-on-read maintenance and metrics: a large
+    backfill would otherwise grow unbounded delta chains until the next
+    forward replay, and its batch metrics would lack status/elapsed lineage.
     """
     from sonic_etl_spark.operators.audit import manifest_gap_audit
     from sonic_etl_spark.plans.planner import chunk_range
@@ -137,17 +143,26 @@ def repair_gaps(
     t0 = time.time()
     for pid, lo, hi in gaps:
         for s, e in chunk_range(lo, hi, chunk_size):
+            bt0 = time.time()
             manifest = [(pid, s, e)]
             raw = filter_to_manifests(change_log, manifest)
             typed = decode_change_events(raw)
-            n_rows = assert_no_decode_errors(typed)
+            if validate:
+                n_rows = assert_no_decode_errors(typed)
+            else:
+                n_rows = e - s + 1  # dense log
             updates = reduce_batch(typed, salt_buckets=salt_buckets)
             bm = {"repair": True, "manifest": [list(m) for m in manifest], "rows": n_rows}
             status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
+            bm["elapsed_sec"] = round(time.time() - bt0, 3)
+            bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
+            bm["status"] = status["status"]
             res.batch_metrics.append(bm)
             if status["status"] == "committed":
                 res.batches_applied += 1
                 res.rows_seen += n_rows
+                if compact_threshold is not None:
+                    table.compact(max_files_per_bucket=compact_threshold)
             else:
                 res.batches_skipped += 1
     res.elapsed_sec = round(time.time() - t0, 3)
