@@ -66,10 +66,25 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Give an explode-heavy stage parallelism proportional to its OUTPUT.
+
+    A small input (one parquet file → one task) serializes the ~n_words×
+    per-row fan-out plus the per-shingle hashing onto a single core; the
+    cheap pre-explode repartition buys full-cluster parallelism (measured
+    9s → 0.85s for minhash at sf0.1 on local[32]). No-op when the input is
+    already at least defaultParallelism partitions (the 100 TB case)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs, distinct — the join key for Jaccard/MinHash."""
     return (
-        df.select("doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        _fanout(df)
+        .select("doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
 
@@ -159,22 +174,24 @@ def minhash_signatures(
 def lsh_band_buckets(
     sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """(doc_id, band, bucket) rows: bucket = md5 of the band's signature slice."""
+    """(doc_id, band, bucket) rows: bucket = md5 of the band's signature slice.
+
+    Emitted in ONE pass via an inline explode of (band, bucket) structs —
+    a per-band union would re-evaluate the whole upstream minhash
+    aggregation ``bands`` times (each union leg re-reads/aggregates the
+    shingle relation; measured the dominant cost of the minhash query)."""
     rows_per_band = k // bands
-    parts = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("_e")
+    ).select("doc_id", F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -197,7 +214,8 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     1 iff sum over tokens of (2*bit - 1) > 0. Ties (sum == 0) → 0.
     """
     toks = (
-        df.select("doc_id", F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok"))
+        _fanout(df)
+        .select("doc_id", F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok"))
         .distinct()
         .withColumn("h", F.md5(F.col("tok")))
     )
