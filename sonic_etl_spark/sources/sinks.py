@@ -49,3 +49,73 @@ def read_time_bucketed_jsonl(spark, path: str) -> DataFrame:
 def write_jsonl_fixture(df: DataFrame, path: str) -> None:
     """Single-file JSONL golden (deterministic order by all columns)."""
     df.orderBy(*df.columns).coalesce(1).write.mode("overwrite").json(path)
+
+
+# --------------------------------------------------------------------------
+# Abstract batch-sink interface (S11-S14): the reference selects one of six
+# publisher implementations behind a single trait (src/output/publish.rs:
+# 14-26 — Pub/Sub, GCS, JSONL, JSON, Kafka, RabbitMQ×2). The engine's analog
+# is one ``publish_batch(updates, manifest_entries, metrics)`` contract with
+# concrete sinks below; the streaming driver (streaming/stream.py) takes any
+# of them. Exactly-once is the SINK's duty in both designs: the table sink
+# uses the snapshot manifest guard, the file sink uses deterministic
+# manifest-named directories (gcs.rs's file-per-offset-range naming).
+
+
+class TableSink:
+    """Warehouse sink: transactional MERGE with the idempotent manifest
+    guard (the Dataflow→BQ loader upgrade, S16)."""
+
+    def __init__(self, table, key_cols=None, order_cols=None,
+                 compact_threshold: int | None = 16):
+        self.table = table
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.compact_threshold = compact_threshold
+
+    def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:
+        status = self.table.merge(
+            updates, manifest_entries, self.key_cols, self.order_cols, metrics=metrics
+        )
+        if status["status"] == "committed" and self.compact_threshold is not None:
+            self.table.compact(max_files_per_bucket=self.compact_threshold)
+        return status
+
+
+class JsonlChunkSink:
+    """File-stream sink: chunked JSONL per batch, idempotent by manifest.
+
+    The Kafka-less stand-in proving the sink abstraction: each batch writes
+    to a directory DETERMINISTICALLY NAMED by its manifest entries (the
+    reference's `{name}_{i}.jsonl`-per-offset-range naming, gcs.rs:99-115);
+    a redelivered batch sees the completed marker and no-ops — the same
+    exactly-once contract the table sink gets from its snapshot manifest.
+    ``chunk_records`` mirrors the Pub/Sub 900-message chunking
+    (google_pubsub.rs:122) via maxRecordsPerFile.
+    """
+
+    def __init__(self, path: str, chunk_records: int = 900):
+        import os
+
+        self.path = path
+        self.chunk_records = chunk_records
+        os.makedirs(path, exist_ok=True)
+
+    @staticmethod
+    def _batch_dir(manifest_entries) -> str:
+        return "batch_" + "_".join(
+            f"p{p}-{s}-{e}" for p, s, e in sorted(tuple(m) for m in manifest_entries)
+        )
+
+    def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:
+        import os
+
+        out = os.path.join(self.path, self._batch_dir(manifest_entries))
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return {"status": "skipped", "path": out}
+        (
+            updates.write.option("maxRecordsPerFile", str(self.chunk_records))
+            .mode("overwrite")
+            .json(out)
+        )
+        return {"status": "committed", "path": out}

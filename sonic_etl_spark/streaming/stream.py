@@ -66,7 +66,7 @@ def observed_manifests(batch: DataFrame) -> list[tuple[int, int, int]]:
 def stream_replay(
     spark: SparkSession,
     log_dir: str,
-    table: TransactionalParquetTable,
+    table,
     *,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
@@ -76,12 +76,25 @@ def stream_replay(
 ) -> StreamingQuery:
     """Start a streaming ingest of ``log_dir`` into ``table``.
 
+    ``table`` is either a :class:`TransactionalParquetTable` (the warehouse
+    path) or any sink implementing ``publish_batch(updates, manifests,
+    metrics)`` (sources/sinks.py — the abstract publisher trait of
+    src/output/publish.rs:14-26; e.g. :class:`JsonlChunkSink` for the
+    chunked file-stream path). Exactly-once on redelivery is the sink's
+    contract either way.
+
     ``available_now=True`` processes the current log then stops (the
     bounded-replay benchmark mode, IndexRange analog, src/main.rs:406-431);
     False runs continuously (IndexSubscription analog, tailing new files).
     Caller awaits ``query.awaitTermination()``.
     """
-    table.create(SOURCE_CODE_FIELDS, KEY_COLS, ORDER_COLS)
+    from sonic_etl_spark.sources.sinks import TableSink
+
+    if isinstance(table, TransactionalParquetTable):
+        table.create(SOURCE_CODE_FIELDS, KEY_COLS, ORDER_COLS)
+        sink = TableSink(table, KEY_COLS, ORDER_COLS, compact_threshold)
+    else:
+        sink = table
 
     stream = (
         spark.readStream.schema(CHANGE_LOG_DDL)
@@ -97,15 +110,11 @@ def stream_replay(
         updates = reduce_batch(
             decode_change_events(batch), salt_buckets=salt_buckets
         )
-        status = table.merge(
+        sink.publish_batch(
             updates,
             manifests,
-            KEY_COLS,
-            ORDER_COLS,
             metrics={"stream_batch_id": batch_id, "manifest": [list(m) for m in manifests]},
         )
-        if status["status"] == "committed" and compact_threshold is not None:
-            table.compact(max_files_per_bucket=compact_threshold)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -105,3 +105,51 @@ def test_jsonl_fixture_single_file(spark, tmp_path):
     write_jsonl_fixture(df, path)
     files = glob.glob(path + "/part-*")
     assert len(files) == 1
+
+
+def test_jsonl_chunk_sink_streaming_and_idempotence(spark, tmp_path):
+    """S11-S14 sink abstraction: the SAME streaming driver publishes through
+    a second concrete sink (chunked JSONL, manifest-named dirs); redelivery
+    with a fresh checkpoint no-ops on completed batches."""
+    import os
+
+    from sonic_etl_spark.log import synthesize_change_events
+    from sonic_etl_spark.sources.sinks import JsonlChunkSink
+    from sonic_etl_spark.streaming.stream import stream_replay
+
+    log_dir = str(tmp_path / "log")
+    synthesize_change_events(spark, 2000, n_partitions=2, num_slices=4).write.parquet(
+        log_dir
+    )
+    sink = JsonlChunkSink(str(tmp_path / "out"), chunk_records=400)
+    q = stream_replay(
+        spark, log_dir, sink,
+        checkpoint_dir=str(tmp_path / "ck1"), max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    batch_dirs = sorted(
+        d for d in os.listdir(str(tmp_path / "out")) if d.startswith("batch_")
+    )
+    assert batch_dirs, "sink produced no batch directories"
+    n_rows = spark.read.json(str(tmp_path / "out") + "/batch_*").count()
+    # streamed updates are batch-reduced: rows <= events, > 0
+    assert 0 < n_rows <= 2000
+    mtimes = {
+        d: os.path.getmtime(os.path.join(str(tmp_path / "out"), d, "_SUCCESS"))
+        for d in batch_dirs
+    }
+    # redelivery: fresh checkpoint replays every file; completed batch dirs
+    # are skipped (same manifest name -> _SUCCESS short-circuit)
+    q2 = stream_replay(
+        spark, log_dir, sink,
+        checkpoint_dir=str(tmp_path / "ck2"), max_files_per_trigger=2,
+    )
+    q2.awaitTermination()
+    after = sorted(
+        d for d in os.listdir(str(tmp_path / "out")) if d.startswith("batch_")
+    )
+    assert after == batch_dirs
+    for d in batch_dirs:
+        assert os.path.getmtime(
+            os.path.join(str(tmp_path / "out"), d, "_SUCCESS")
+        ) == mtimes[d], f"{d} was rewritten on redelivery"
