@@ -163,9 +163,24 @@ class TransactionalTableSet:
         cur = next(
             s for s in tbl["schemas"] if s["schema_id"] == tbl["current_schema_id"]
         )
-        projected = df.select(
-            *[F.col(f["name"]).cast(f["type"]).alias(f["name"]) for f in cur["fields"]]
-        )
+        # schema-id-aware writer projection (mirror of
+        # TransactionalParquetTable._project_to_current): route producer
+        # columns to current names by FIELD ID, accepting historical
+        # (pre-rename) names; backfill columns unknown to the producer.
+        historical: dict[int, list[str]] = {}
+        for sch in sorted(tbl["schemas"], key=lambda s: -s["schema_id"]):
+            for f in sch["fields"]:
+                historical.setdefault(f["id"], [])
+                if f["name"] not in historical[f["id"]]:
+                    historical[f["id"]].append(f["name"])
+        proj = []
+        for f in cur["fields"]:
+            src = next((n for n in historical[f["id"]] if n in df.columns), None)
+            if src is not None:
+                proj.append(F.col(src).cast(f["type"]).alias(f["name"]))
+            else:
+                proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        projected = df.select(*proj)
         rel = os.path.join(DATA_DIR, f"snap-{new_id}", name)
         out_dir = os.path.join(self.path, rel)
         bcols = [F.col(c) for c in tbl["bucket_cols"]]
@@ -249,6 +264,65 @@ class TransactionalTableSet:
             "snapshot_id": new_id,
             "buckets_written": written_counts,
         }
+
+    # ------------------------------------------------------------- evolution
+    def evolve(
+        self,
+        name: str,
+        add: list[tuple[str, str]] | None = None,
+        rename: dict[str, str] | None = None,
+    ) -> dict:
+        """Schema-only snapshot for ONE table of the set (field-id semantics
+        identical to TransactionalParquetTable.evolve): existing files are
+        untouched; readers map them by field id. Other tables are unaffected
+        — but the commit is still one atomic pointer flip of the shared log.
+        """
+        parent = self.latest()
+        if parent is None or name not in parent["tables"]:
+            raise FileNotFoundError(f"table {name} not in set {self.path}")
+        tbls = {n: dict(t) for n, t in parent["tables"].items()}
+        tbl = dict(tbls[name])
+        cur = next(
+            s for s in tbl["schemas"] if s["schema_id"] == tbl["current_schema_id"]
+        )
+        fields = [dict(f) for f in cur["fields"]]
+        for old, new in (rename or {}).items():
+            hit = [f for f in fields if f["name"] == old]
+            if not hit:
+                raise KeyError(f"rename: no column {old!r} in {name}")
+            hit[0]["name"] = new
+        next_id = max((f["id"] for f in fields), default=-1) + 1
+        for cname, typ in add or []:
+            if any(f["name"] == cname for f in fields):
+                raise KeyError(f"add: column {cname!r} exists in {name}")
+            fields.append({"id": next_id, "name": cname, "type": typ})
+            next_id += 1
+        new_schema = {"schema_id": cur["schema_id"] + 1, "fields": fields}
+        id_by_old = {f["name"]: f["id"] for f in cur["fields"]}
+        new_by_id = {f["id"]: f["name"] for f in fields}
+
+        def remap(cols):
+            return [new_by_id.get(id_by_old.get(c, -1), c) for c in cols]
+
+        tbl["schemas"] = tbl["schemas"] + [new_schema]
+        tbl["current_schema_id"] = new_schema["schema_id"]
+        tbl["key_cols"] = remap(tbl["key_cols"])
+        tbl["order_cols"] = remap(tbl["order_cols"])
+        tbl["bucket_cols"] = remap(tbl["bucket_cols"])
+        tbls[name] = tbl
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "n_buckets": parent["n_buckets"],
+            "tables": tbls,
+            "manifests": parent["manifests"],
+            "metrics": {
+                "evolution": {"table": name, "add": add or [], "rename": rename or {}}
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return snap
 
     # ------------------------------------------------------------ compaction
     def compact(self, max_files_per_bucket: int = 8, force: bool = False) -> dict:

@@ -147,3 +147,27 @@ def test_compaction_preserves_state(spark, tmp_path, log_df, oracle_hashes):
     assert _all_hashes(ts) == before == {
         k: oracle_hashes[k] for k in ("source_code", "file_versions")
     }
+
+
+def test_tableset_schema_evolution_mid_stream(spark, tmp_path, log_df):
+    """Add + rename on one fan-out table mid-replay: old files read under
+    the new schema by field id; a producer still sending the old column
+    name routes correctly; other tables unaffected; one atomic commit."""
+    import pyspark.sql.functions as F2
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "f7"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  max_batches=1)
+    before_versions = ts.read("file_versions").count()
+    ts.evolve("source_code", add=[("branch", "string")],
+              rename={"size_bytes": "content_bytes"})
+    # resume: the producer (decode pipeline) still emits 'size_bytes'
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    sc = ts.read("source_code")
+    assert "content_bytes" in sc.columns and "branch" in sc.columns
+    assert "size_bytes" not in sc.columns
+    # old-name data (both pre- and post-evolution batches) routed by field id
+    assert sc.filter(F2.col("content_bytes").isNull()).count() == 0
+    assert sc.filter(F2.col("branch").isNotNull()).count() == 0
+    # sibling table untouched, still grows
+    assert ts.read("file_versions").count() > before_versions
