@@ -35,6 +35,12 @@ PROGRESS_OUTPUT_DDL = (
 )
 PROGRESS_STATE_DDL = "change_count bigint, max_offset bigint, path_hashes array<long>"
 
+# KMV (k-minimum-values) sketch size: per-repo state is BOUNDED at k hashes
+# regardless of path cardinality. Below k distinct paths the count is exact;
+# above, the estimator (k-1)·2^64/kth_min has ~1/sqrt(k-2) relative error
+# (~3% at k=1024). Deterministic — no RNG, same input → same estimate.
+PROGRESS_SKETCH_K = 1024
+
 
 def _log_stream(spark: SparkSession, log_dir: str, max_files_per_trigger: int):
     return (
@@ -93,29 +99,42 @@ def _progress_fn(
 ) -> Iterator[pd.DataFrame]:
     """Stateful update: fold this trigger's rows for one repo into state.
 
-    path_cardinality is exact-distinct over hashed paths kept in state —
-    fine for per-repo path counts; at extreme cardinality swap the array for
-    a serialized HLL sketch with the identical state schema shape.
-    """
+    path_cardinality is a KMV distinct-count sketch: state keeps only the
+    ``PROGRESS_SKETCH_K`` smallest 64-bit path hashes (stored as int64 bit
+    patterns in the array<long> state column). Exact while distinct paths
+    < k; (k-1)·2^64/kth_min beyond — per-repo state stays O(k) at any
+    cardinality (the round-1 exact-set design grew with every distinct
+    path, unbounded on a 10^10-event log)."""
     (repo,) = key
+    k = PROGRESS_SKETCH_K
     if state.exists:
         change_count, max_offset, path_hashes = state.get
-        paths = set(path_hashes)
+        # stored int64 bit patterns → unsigned ordering domain
+        mins = {h & 0xFFFFFFFFFFFFFFFF for h in path_hashes}
     else:
-        change_count, max_offset, paths = 0, -1, set()
+        change_count, max_offset, mins = 0, -1, set()
     for pdf in pdfs:
         change_count += len(pdf)
         if len(pdf):
             max_offset = max(max_offset, int(pdf["offset"].max()))
-            paths.update(int(h) for h in pd.util.hash_array(
-                pdf["path"].to_numpy(dtype=object)).astype("int64"))
-    state.update((change_count, max_offset, list(paths)))
+            mins.update(
+                int(h)
+                for h in pd.util.hash_array(pdf["path"].to_numpy(dtype=object))
+            )
+    kmv = sorted(mins)[:k]
+    if len(kmv) < k:
+        cardinality = len(kmv)
+    else:
+        cardinality = int(round((k - 1) * (2.0**64) / kmv[-1]))
+    # store back as int64 bit patterns (Spark long is signed)
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in kmv]
+    state.update((change_count, max_offset, signed))
     yield pd.DataFrame(
         {
             "repo": [repo],
             "change_count": [change_count],
             "max_offset": [max_offset],
-            "path_cardinality": [len(paths)],
+            "path_cardinality": [cardinality],
         }
     )
 

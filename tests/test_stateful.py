@@ -94,3 +94,42 @@ def test_stateful_progress_accumulates(spark, tmp_path, log_dir):
         assert g["change_count"] == w["change_count"]
         assert g["max_offset"] == w["max_offset"]
         assert g["path_cardinality"] == w["path_cardinality"]
+
+
+def test_kmv_sketch_accuracy_and_bounded_state():
+    """Pure-function check of the KMV fold: exact below k, ~3% beyond k,
+    state bounded at k entries."""
+    import pandas as pd
+
+    from sonic_etl_spark.streaming import stateful as st
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    # below k: exact
+    pdf = pd.DataFrame({"offset": range(100), "path": [f"p{i}" for i in range(100)]})
+    (out,) = st._progress_fn(("r",), [pdf], state)
+    assert out["path_cardinality"][0] == 100
+    # far beyond k, folded across several triggers: estimate within 10%
+    n = 20_000
+    for lo in range(100, n, 5000):
+        hi = min(lo + 5000, n)
+        pdf = pd.DataFrame(
+            {"offset": range(lo, hi), "path": [f"p{i}" for i in range(lo, hi)]}
+        )
+        (out,) = st._progress_fn(("r",), [pdf], state)
+    est = out["path_cardinality"][0]
+    assert abs(est - n) / n < 0.10, f"KMV estimate {est} vs true {n}"
+    assert len(state.get[2]) <= st.PROGRESS_SKETCH_K  # bounded state
+    assert out["change_count"][0] == n
