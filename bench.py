@@ -156,7 +156,9 @@ def main() -> None:
     low = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LOW", "1"))
     high = 4 * low  # the north rule's N vs 4N pair
     peak = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replay_peak = best_replay(peak, 1)
+    # best-of-N for the peak too: a single attempt can read 30% under
+    # capability on this ±50%-noise host (memory/sandbox-perf-traps)
+    replay_peak = best_replay(peak, attempts)
     result: dict = {"events": N_EVENTS, "peak_cores": peak, "peak": replay_peak}
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         r_high = best_replay(high, attempts)

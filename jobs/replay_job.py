@@ -21,6 +21,11 @@ without a separate resumption channel.
 A graceful-shutdown file (``--stop-file``) mirrors the reference's SIGTERM
 flag checked between messages (src/sonic_config/mod.rs:70-98): touch the file
 and the loop exits after the in-flight batch commits.
+
+``--fanout`` switches to the multi-table pipeline (one decode pass →
+source_code + file_versions + quarantine under one shared manifest commit;
+streaming/fanout.py), and ``--on-error quarantine`` enables the dead-letter
+path for poison rows instead of fail-the-batch.
 """
 
 from __future__ import annotations
@@ -45,28 +50,51 @@ def main() -> None:
                     help="skip fail-the-batch decode validation")
     ap.add_argument("--stop-file", default=None,
                     help="graceful shutdown: stop after current batch if this file exists")
+    ap.add_argument("--fanout", action="store_true",
+                    help="multi-table pipeline: source_code + file_versions + "
+                         "quarantine under one shared manifest commit")
+    ap.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
+                    help="(--fanout only) poison-row policy")
     args = ap.parse_args()
 
     from sonic_etl_spark.session import get_spark
-    from sonic_etl_spark.sources import TransactionalParquetTable
-    from sonic_etl_spark.streaming import replay
 
     spark = get_spark("cdc-replay")
     log = spark.read.parquet(args.log)
-    table = TransactionalParquetTable(spark, args.table, n_buckets=args.n_buckets)
-
     stop = (
         (lambda: os.path.exists(args.stop_file)) if args.stop_file else None
     )
-    res = replay(
-        log,
-        table,
-        chunk_size=args.chunk_size,
-        salt_buckets=args.salt_buckets,
-        max_batches=args.max_batches,
-        validate=not args.no_validate,
-        stop_requested=stop,
-    )
+
+    if args.fanout:
+        from sonic_etl_spark.sources.multitable import TransactionalTableSet
+        from sonic_etl_spark.streaming.fanout import replay_fanout
+
+        tables = TransactionalTableSet(spark, args.table, n_buckets=args.n_buckets)
+        res = replay_fanout(
+            log,
+            tables,
+            chunk_size=args.chunk_size,
+            salt_buckets=args.salt_buckets,
+            max_batches=args.max_batches,
+            on_error=args.on_error,
+            stop_requested=stop,
+        )
+        snapshot = tables.latest()["snapshot_id"]
+    else:
+        from sonic_etl_spark.sources import TransactionalParquetTable
+        from sonic_etl_spark.streaming import replay
+
+        table = TransactionalParquetTable(spark, args.table, n_buckets=args.n_buckets)
+        res = replay(
+            log,
+            table,
+            chunk_size=args.chunk_size,
+            salt_buckets=args.salt_buckets,
+            max_batches=args.max_batches,
+            validate=not args.no_validate,
+            stop_requested=stop,
+        )
+        snapshot = table.latest()["snapshot_id"]
     print(
         json.dumps(
             {
@@ -75,7 +103,7 @@ def main() -> None:
                 "rows_seen": res.rows_seen,
                 "elapsed_sec": res.elapsed_sec,
                 "events_per_sec": res.events_per_sec,
-                "snapshot": table.latest()["snapshot_id"],
+                "snapshot": snapshot,
             }
         )
     )
