@@ -47,22 +47,63 @@ def missing_ids(
     )
 
 
-def islands(ids: DataFrame, id_col: str) -> DataFrame:
+def islands(ids: DataFrame, id_col: str, block: int = 1 << 20) -> DataFrame:
     """Group consecutive ids into runs: (run_start, run_end, run_len).
 
-    Classic gaps-and-islands: ``id - row_number()`` is constant within a run.
+    Two-level gaps-and-islands, scalable: a GLOBAL ``Window.orderBy`` would
+    funnel every id through one task. Instead:
+
+    1. per-block runs — the ``id - row_number()`` trick inside a window
+       PARTITIONED by ``id div block`` (parallel, each task sorts ≤ block
+       ids);
+    2. stitch across block edges — a run ending exactly at id ``e`` merges
+       with a run starting at ``e+1``. Runs are ≤ ids/1 but typically ≪ ids
+       (that's the point of run-length encoding), so the second level reuses
+       the same trick over *runs*, keyed by ``run_start - total ids before
+       it``: consecutive-and-adjacent runs share the key. The stage-2 window
+       is global but over the (small) run relation; for pathological inputs
+       (every id isolated) stage 2 degrades to stage-1 size — bounded by the
+       missing-set, never the domain.
     """
-    return (
+    per_block = Window.partitionBy("_blk").orderBy("_id")
+    runs = (
         ids.select(F.col(id_col).cast("long").alias("_id"))
-        .select("_id", (F.col("_id") - F.row_number().over(Window.orderBy("_id"))).alias("_grp"))
-        .groupBy("_grp")
+        .withColumn("_blk", F.floor(F.col("_id") / block))
+        .select(
+            "_id",
+            "_blk",
+            (F.col("_id") - F.row_number().over(per_block)).alias("_grp"),
+        )
+        .groupBy("_blk", "_grp")
         .agg(
             F.min("_id").alias("run_start"),
             F.max("_id").alias("run_end"),
             F.count(F.lit(1)).alias("run_len"),
         )
+        .drop("_blk", "_grp")
+    )
+    # stage 2: runs sorted by start; cumulative length up to the previous
+    # run equals run_start's rank-anchor iff runs are back-to-back adjacent
+    w = Window.orderBy("run_start")
+    stitched = (
+        runs.select(
+            "run_start",
+            "run_end",
+            "run_len",
+            (
+                F.col("run_start")
+                - (F.sum("run_len").over(w) - F.col("run_len"))
+            ).alias("_grp"),
+        )
+        .groupBy("_grp")
+        .agg(
+            F.min("run_start").alias("run_start"),
+            F.max("run_end").alias("run_end"),
+            F.sum("run_len").alias("run_len"),
+        )
         .drop("_grp")
     )
+    return stitched
 
 
 def parent_child_count_check(

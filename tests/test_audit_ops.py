@@ -66,3 +66,18 @@ def test_liveness(spark):
     assert ok["alive"] and ok["lag_sec"] == 100
     stale = audit_ops.liveness(ev, "ts", now_epoch=newest + 7200, max_lag_sec=3600)
     assert not stale["alive"]
+
+
+def test_islands_stitch_across_blocks(spark):
+    """Two-level islands must merge runs that span block boundaries and
+    keep isolated ids separate (block=8 forces many edges)."""
+    from sonic_etl_spark.operators.audit import islands
+
+    ids = [1, 2, 3, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 30, 32]
+    df = spark.createDataFrame([(i,) for i in ids], "x long")
+    runs = {
+        (r["run_start"], r["run_end"]): r["run_len"]
+        for r in islands(df, "x", block=8).collect()
+    }
+    # 7..17 crosses blocks 0 (7) / 1 (8-15) / 2 (16-17) and must stitch
+    assert runs == {(1, 3): 3, (7, 17): 11, (30, 30): 1, (32, 32): 1}
