@@ -856,6 +856,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video-pipeline shape): one payload → one row
+    per sampled frame via mapInPandas row fan-out. Rows-only: the codec
+    stage has no SQL equivalent; determinism is pytest-golden-covered."""
+    media = mm_ops.attach_media(_t(spark, sf_dir, "documents"))
+    return mm_ops.frame_sample(media, frame_bytes=64, every_k=4).select(
+        "doc_id", "frame_index", "n_frames", "frame_checksum"
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
@@ -1067,6 +1077,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
     # rows-only (non-SQL-expressible)
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_frames": (q_multimodal_frames, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
     "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),

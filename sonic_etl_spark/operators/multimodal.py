@@ -105,3 +105,97 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return media.repartition(n_parts).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    target_bytes: int = 256,
+    target_batch_bytes: int = 64 << 20,
+    decode_fn=decode_media,
+) -> DataFrame:
+    """Arrow-batched resize: decode → downsample → re-encode, same schema out.
+
+    The Spark plumbing is the real thing (size-budgeted mapInPandas, binary
+    in/binary out so stages compose: attach → resize → extract). The
+    deterministic fake 'resize' stride-samples the payload down to
+    ``target_bytes`` (an image resample would slot into the same loop via
+    ``decode_fn``/PIL); metadata is rewritten to the post-resize size.
+    """
+    n_bytes_total = media.agg(F.sum("meta.n_bytes")).first()[0] or 0
+    n_parts = max(1, int(n_bytes_total // target_batch_bytes) + 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads, metas = [], []
+            for payload, mt, meta in zip(
+                pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                raw = decode_fn(bytes(payload), mt)
+                if len(raw) > target_bytes:
+                    stride = max(len(raw) // target_bytes, 1)
+                    raw = raw[::stride][:target_bytes]
+                payloads.append(raw)
+                metas.append(
+                    {"mime": meta["mime"], "n_bytes": len(raw), "source": meta["source"]}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.repartition(n_parts).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_index int, n_frames int, frame binary, frame_checksum bigint"
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    every_k: int = 4,
+    target_batch_bytes: int = 64 << 20,
+    decode_fn=decode_media,
+) -> DataFrame:
+    """Arrow-batched frame sampling: one input payload → one ROW PER SAMPLED
+    FRAME (the row fan-out shape a video pipeline needs; mapInPandas may emit
+    more rows than it receives, unlike a pandas_udf).
+
+    The deterministic fake treats the payload as consecutive
+    ``frame_bytes``-sized records and keeps every ``every_k``-th — a real
+    container demuxer slots into ``decode_fn``. frame_checksum supports
+    golden byte-exactness tests without storing frames.
+    """
+    n_bytes_total = media.agg(F.sum("meta.n_bytes")).first()[0] or 0
+    n_parts = max(1, int(n_bytes_total // target_batch_bytes) + 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in
+                    ("doc_id", "frame_index", "n_frames", "frame", "frame_checksum")}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = decode_fn(bytes(payload), mt)
+                n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
+                for idx in range(0, n_frames, every_k):
+                    frame = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(idx)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame"].append(frame)
+                    rows["frame_checksum"].append(sum(frame))
+            yield pd.DataFrame(rows)
+
+    return media.repartition(n_parts).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -38,3 +38,39 @@ def test_decode_media_stub_raises_for_unhosted_codec():
     assert mm_ops.decode_media(b"x", "text") == b"x"
     with pytest.raises(NotImplementedError):
         mm_ops.decode_media(b"\x89PNG", "image")
+
+
+def test_resize_media_composes_and_bounds_size(spark):
+    """attach → resize → extract composes (binary in/out); payloads bounded
+    at target_bytes; metadata rewritten; determinism via checksum."""
+    from sonic_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 1000, "s"), (2, "ab", "s")], "doc_id bigint, text string, source string"
+    )
+    media = mm.attach_media(docs)
+    small = mm.resize_media(media, target_bytes=64)
+    rows = {r["doc_id"]: r for r in small.collect()}
+    assert len(rows[1]["payload"]) == 64 and rows[1]["meta"]["n_bytes"] == 64
+    assert len(rows[2]["payload"]) == 2  # already under target: unchanged
+    feats = mm.extract_features(small).collect()  # composition works
+    assert {r["doc_id"] for r in feats} == {1, 2}
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in mm.resize_media(media, target_bytes=64).collect()}
+    assert bytes(again[1]["payload"]) == bytes(rows[1]["payload"])
+
+
+def test_frame_sample_row_fanout(spark):
+    from sonic_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "A" * 640, "s")], "doc_id bigint, text string, source string"
+    )
+    frames = mm.frame_sample(
+        mm.attach_media(docs), frame_bytes=64, every_k=3
+    ).collect()
+    # 640 bytes / 64 = 10 frames; every 3rd → indexes 0,3,6,9
+    assert sorted(r["frame_index"] for r in frames) == [0, 3, 6, 9]
+    assert all(r["n_frames"] == 10 for r in frames)
+    assert all(len(r["frame"]) == 64 for r in frames)
+    assert all(r["frame_checksum"] == 64 * ord("A") for r in frames)
