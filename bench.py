@@ -102,7 +102,10 @@ log = spark.read.parquet({LOG_DIR!r})
 tdir = tempfile.mkdtemp(prefix="bench_tab_")
 tab = TransactionalParquetTable(spark, tdir, n_buckets=64)
 t0 = time.time()
-res = replay(log, tab, chunk_size={max(N_EVENTS // 16, 1)}, validate=False,
+# validate=True is ~free since the Observation-based inline check (error
+# counts ride the merge write job); the benchmarked path is the full
+# fail-the-batch-validated replay.
+res = replay(log, tab, chunk_size={max(N_EVENTS // 16, 1)}, validate=True,
              salt_buckets=32)
 wall = time.time() - t0
 n = tab.read().count()

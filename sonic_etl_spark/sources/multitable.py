@@ -204,6 +204,7 @@ class TransactionalTableSet:
         updates: dict[str, DataFrame],
         manifest_entries: list[tuple[int, int, int]],
         metrics: dict | None = None,
+        pre_commit_check=None,
     ) -> dict:
         """Apply one batch to every table atomically under one manifest.
 
@@ -212,6 +213,10 @@ class TransactionalTableSet:
         written first (crash ⇒ orphan files, no state change), then ONE
         pointer flip records every table's new files AND the manifest entries
         — the cross-table exactly-once guarantee.
+
+        ``pre_commit_check``: called after all writes, before the pointer
+        flip; raising aborts the whole multi-table commit (orphan files
+        only) — the observation-based fail-the-batch hook.
         """
         t0 = time.time()
         parent = self.latest()
@@ -244,6 +249,8 @@ class TransactionalTableSet:
                     }
                 ]
             written_counts[name] = len(written)
+        if pre_commit_check is not None:
+            pre_commit_check()  # raising aborts: files orphan, no commit
 
         snap = {
             "snapshot_id": new_id,

@@ -331,6 +331,7 @@ class TransactionalParquetTable:
         key_cols: list[str] | None = None,
         order_cols: list[str] | None = None,
         metrics: dict | None = None,
+        pre_commit_check=None,
     ) -> dict:
         """MERGE INTO with LWW ordering and an idempotent manifest commit.
 
@@ -340,6 +341,11 @@ class TransactionalParquetTable:
         LWW across files. Returns a status dict. Skips (no-op) if every
         manifest entry is already committed — the exactly-once guard (ST3
         upgrade, SURVEY.md §2.8).
+
+        ``pre_commit_check``: optional callable invoked AFTER the data files
+        are written but BEFORE the snapshot pointer flips — raising aborts
+        the commit, leaving only orphan files (used for observation-based
+        fail-the-batch validation that rides the write job for free).
         """
         t0 = time.time()
         parent = self.latest()
@@ -361,6 +367,8 @@ class TransactionalParquetTable:
         rel, written = self._write_bucket_files(
             new_id, projected, n_partitions=max(n_buckets, 1), n_buckets=n_buckets
         )
+        if pre_commit_check is not None:
+            pre_commit_check()  # raising here aborts: files orphan, no commit
 
         buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
         for b in written:

@@ -46,7 +46,7 @@ from sonic_etl_spark.operators.merge import (
     KEY_COLS,
     ORDER_COLS,
     SOURCE_CODE_FIELDS,
-    assert_no_decode_errors,
+    observe_decode_errors,
     reduce_batch,
     salted_lww,
 )
@@ -171,14 +171,22 @@ def replay_fanout(
         bt0 = time.time()
         raw = filter_to_manifests(change_log, manifest)
         typed = decode_change_events(raw)
+        check = None
+        n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
         if on_error == "fail":
-            n_rows = assert_no_decode_errors(typed)
+            # fail-the-batch without an extra decode pass: the error counts
+            # ride the source_code write job and abort the multi-table
+            # commit before the pointer flip
+            typed, check = observe_decode_errors(typed)
             clean = typed
-            quarantined = project_quarantine(typed.limit(0))
+            # fresh empty frame, NOT typed.limit(0): an empty action over the
+            # observed lineage could satisfy the Observation with zero counts
+            quarantined = typed.sparkSession.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in QUARANTINE_FIELDS)
+            )
         else:
             clean = typed.filter(F.col("decode_error").isNull())
             quarantined = project_quarantine(typed)
-            n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
         updates = {
             "source_code": reduce_batch(clean, salt_buckets=salt_buckets),
             "file_versions": project_file_versions(clean, salt_buckets),
@@ -189,7 +197,9 @@ def replay_fanout(
             "manifest": [list(m) for m in manifest],
             "rows": n_rows,
         }
-        status = tables.merge_all(updates, manifest, metrics=bm)
+        status = tables.merge_all(
+            updates, manifest, metrics=bm, pre_commit_check=check
+        )
         bm["elapsed_sec"] = round(time.time() - bt0, 3)
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]

@@ -33,6 +33,7 @@ from sonic_etl_spark.operators.merge import (
     ORDER_COLS,
     SOURCE_CODE_FIELDS,
     assert_no_decode_errors,
+    observe_decode_errors,
     reduce_batch,
 )
 from sonic_etl_spark.plans.planner import filter_to_manifests, log_heads, plan_batches
@@ -86,17 +87,23 @@ def replay(
         bt0 = time.time()
         raw = filter_to_manifests(change_log, manifest)
         typed = decode_change_events(raw)
+        check = None
         if validate:
-            n_rows = assert_no_decode_errors(typed)
-        else:
-            n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
+            # fail-the-batch WITHOUT a second decode pass: the error counts
+            # are observed during the merge's own write job, checked after
+            # the files land but before the snapshot commit
+            typed, check = observe_decode_errors(typed)
+        n_rows = sum(e - s + 1 for (_p, s, e) in manifest)  # dense log
         updates = reduce_batch(typed, salt_buckets=salt_buckets)
         bm = {
             "batch_index": i,
             "manifest": [list(m) for m in manifest],
             "rows": n_rows,
         }
-        status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
+        status = table.merge(
+            updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm,
+            pre_commit_check=check,
+        )
         bm["elapsed_sec"] = round(time.time() - bt0, 3)
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]

@@ -93,3 +93,15 @@ def test_graceful_stop_between_batches(spark, tmp_path, log_df, oracle_hash):
     assert res.batches_applied == 2  # stopped cleanly after 2 batches
     res2 = replay(log_df, tab, chunk_size=200)
     assert _state_hash(tab.read()) == oracle_hash
+
+
+def test_inline_validation_fails_batch_without_committing(spark, tmp_path):
+    """validate=True rides the merge write job (Observation, no second
+    decode pass) and still aborts BEFORE the snapshot commit: a poison log
+    raises fail-the-batch and the table advances nothing."""
+    poisoned = synthesize_change_events(spark, 500, poison_fraction=0.1)
+    tab = TransactionalParquetTable(spark, str(tmp_path / "tv"), n_buckets=4)
+    with pytest.raises(ValueError, match="decode failed"):
+        replay(poisoned, tab, chunk_size=1000, validate=True)
+    assert tab.committed_ranges() == set()
+    assert tab.read().count() == 0
