@@ -51,6 +51,37 @@ def write_jsonl_fixture(df: DataFrame, path: str) -> None:
     df.orderBy(*df.columns).coalesce(1).write.mode("overwrite").json(path)
 
 
+def write_json_record_files(
+    df: DataFrame, path: str, name_cols: list[str], max_rows: int = 10_000
+) -> int:
+    """One ``.json`` file per record (S13, src/output/json.rs:72 — the
+    reference's single-record fixture format, file named by key fields).
+
+    Fixture-scoped BY DESIGN: record-per-file is an anti-pattern for data
+    at scale (small-files problem), so this guards at ``max_rows`` and
+    iterates driver-side (toLocalIterator — one partition in memory at a
+    time). Returns the number of files written.
+    """
+    import json as _json
+    import os
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_json_record_files is a fixture sink (one file/record); "
+            f"{n} rows > max_rows={max_rows}. Use a JSONL/parquet sink."
+        )
+    os.makedirs(path, exist_ok=True)
+    written = 0
+    for row in df.toLocalIterator():
+        d = row.asDict(recursive=True)
+        stem = "_".join(str(d[c]) for c in name_cols)
+        with open(os.path.join(path, f"{stem}.json"), "w") as f:
+            _json.dump(d, f, sort_keys=True, default=str)
+        written += 1
+    return written
+
+
 # --------------------------------------------------------------------------
 # Abstract batch-sink interface (S11-S14): the reference selects one of six
 # publisher implementations behind a single trait (src/output/publish.rs:

@@ -133,6 +133,71 @@ def project_quarantine(typed: DataFrame) -> DataFrame:
     )
 
 
+def stream_fanout(
+    spark,
+    log_dir: str,
+    tables: TransactionalTableSet,
+    *,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+    on_error: str = "quarantine",
+    salt_buckets: int = 16,
+    compact_threshold: int | None = 16,
+    available_now: bool = True,
+):
+    """Structured-Streaming variant of :func:`replay_fanout`: tail the log
+    directory, fan each micro-batch out to the three tables under one
+    atomic manifest commit (foreachBatch + merge_all). Manifests are the
+    per-partition observed spans (see streaming.stream.observed_manifests)
+    — a restarted query that redelivers a processed batch no-ops."""
+    from sonic_etl_spark.streaming.stream import CHANGE_LOG_DDL, observed_manifests
+
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
+    tables.create(FANOUT_SPECS)
+    stream = (
+        spark.readStream.schema(CHANGE_LOG_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(log_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        manifests = observed_manifests(batch)
+        if not manifests:
+            return
+        typed = decode_change_events(batch)
+        check = None
+        if on_error == "fail":
+            typed, check = observe_decode_errors(typed)
+            clean = typed
+            quarantined = typed.sparkSession.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in QUARANTINE_FIELDS)
+            )
+        else:
+            clean = typed.filter(F.col("decode_error").isNull())
+            quarantined = project_quarantine(typed)
+        status = tables.merge_all(
+            {
+                "source_code": reduce_batch(clean, salt_buckets=salt_buckets),
+                "file_versions": project_file_versions(clean, salt_buckets),
+                "quarantine": quarantined,
+            },
+            manifests,
+            metrics={"stream_batch_id": batch_id,
+                     "manifest": [list(m) for m in manifests]},
+            pre_commit_check=check,
+        )
+        if status["status"] == "committed" and compact_threshold is not None:
+            tables.compact(max_files_per_bucket=compact_threshold)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_fanout(
     change_log: DataFrame,
     tables: TransactionalTableSet,

@@ -171,3 +171,30 @@ def test_tableset_schema_evolution_mid_stream(spark, tmp_path, log_df):
     assert sc.filter(F2.col("branch").isNotNull()).count() == 0
     # sibling table untouched, still grows
     assert ts.read("file_versions").count() > before_versions
+
+
+def test_stream_fanout_matches_batch_fanout(spark, tmp_path, log_df, oracle_hashes):
+    """The streaming fan-out (foreachBatch → merge_all) converges to the
+    same 3-table state as batch replay_fanout, and a fresh-checkpoint
+    redelivery commits no new snapshots."""
+    from sonic_etl_spark.streaming.fanout import stream_fanout
+
+    log_dir = str(tmp_path / "slog")
+    log_df.write.parquet(log_dir)
+    ts = TransactionalTableSet(spark, str(tmp_path / "sf"), n_buckets=8)
+    q = stream_fanout(
+        spark, log_dir, ts, checkpoint_dir=str(tmp_path / "ck1"),
+        max_files_per_trigger=3, on_error="quarantine",
+    )
+    q.awaitTermination()
+    assert _all_hashes(ts) == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+    assert ts.read("quarantine").count() == oracle_hashes["n_poison"]
+    sid = ts.latest()["snapshot_id"]
+    q2 = stream_fanout(
+        spark, log_dir, ts, checkpoint_dir=str(tmp_path / "ck2"),
+        max_files_per_trigger=3, on_error="quarantine",
+    )
+    q2.awaitTermination()
+    assert ts.latest()["snapshot_id"] == sid  # redelivery: all skipped

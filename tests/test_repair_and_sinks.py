@@ -153,3 +153,24 @@ def test_jsonl_chunk_sink_streaming_and_idempotence(spark, tmp_path):
         assert os.path.getmtime(
             os.path.join(str(tmp_path / "out"), d, "_SUCCESS")
         ) == mtimes[d], f"{d} was rewritten on redelivery"
+
+
+def test_json_record_files_fixture_sink(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from sonic_etl_spark.sources.sinks import write_json_record_files
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id bigint, k string, v string"
+    )
+    out = str(tmp_path / "recs")
+    assert write_json_record_files(df, out, name_cols=["id", "k"]) == 2
+    names = sorted(os.listdir(out))
+    assert names == ["1_a.json", "2_b.json"]
+    with open(os.path.join(out, "1_a.json")) as f:
+        assert json.load(f) == {"id": 1, "k": "a", "v": "x"}
+    with pytest.raises(ValueError, match="fixture sink"):
+        write_json_record_files(df, out, name_cols=["id"], max_rows=1)
