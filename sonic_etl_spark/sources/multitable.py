@@ -131,10 +131,21 @@ class TransactionalTableSet:
 
     # ------------------------------------------------------------- manifests
     def committed_ranges(self) -> set[tuple[int, int, int]]:
+        """Offset-range entries only (the planner's resumption input).
+        Non-range idempotency entries (e.g. ("retry", tag) from
+        streaming.fanout.retry_quarantine) live in the same manifest set but
+        are filtered here — the planner unpacks (pid, start, end) triples."""
         snap = self.latest()
         if snap is None:
             return set()
-        return {tuple(m) for m in snap["manifests"]}
+        return {tuple(m) for m in snap["manifests"] if len(m) == 3}
+
+    def committed_marks(self) -> set[tuple]:
+        """Non-range idempotency entries (len != 3), e.g. retry tags."""
+        snap = self.latest()
+        if snap is None:
+            return set()
+        return {tuple(m) for m in snap["manifests"] if len(m) != 3}
 
     # ----------------------------------------------------------------- reads
     def table_names(self) -> list[str]:

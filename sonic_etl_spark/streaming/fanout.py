@@ -75,6 +75,11 @@ QUARANTINE_FIELDS: list[tuple[str, str]] = [
     ("commit", "string"),
     ("decode_error", "string"),
     ("ts", "timestamp"),
+    # dead-letter lifecycle: op='upsert' when quarantined, op='delete'
+    # tombstone when a retry recovers the row; attempt orders them (0 =
+    # original, retry tag >= 1 wins the LWW)
+    ("op", "string"),
+    ("attempt", "int"),
 ]
 
 FANOUT_SPECS: dict[str, TableSpec] = {
@@ -91,7 +96,7 @@ FANOUT_SPECS: dict[str, TableSpec] = {
     "quarantine": TableSpec(
         fields=QUARANTINE_FIELDS,
         key_cols=["partition_id", "offset"],
-        order_cols=["offset"],
+        order_cols=["attempt"],
     ),
 }
 
@@ -130,6 +135,62 @@ def project_quarantine(typed: DataFrame) -> DataFrame:
         "commit",
         "decode_error",
         "ts",
+        F.lit("upsert").alias("op"),
+        F.lit(0).alias("attempt"),
+    )
+
+
+def retry_quarantine(
+    change_log: DataFrame,
+    tables: TransactionalTableSet,
+    *,
+    tag: int = 1,
+    salt_buckets: int = 16,
+) -> dict:
+    """Dead-letter REPLAY: re-decode the currently-quarantined offsets
+    against ``change_log`` (after a decoder/catalog fix or an upstream
+    payload repair — the reference's analog is re-publishing dead-letter
+    messages back to the topic). Rows that now decode cleanly merge into
+    ``source_code``/``file_versions`` AND tombstone their quarantine entry
+    — all under ONE atomic commit. Rows that still fail stay quarantined.
+
+    Idempotency: the commit is keyed by the ("retry", ``tag``) manifest
+    mark; re-running the same tag no-ops. Use a fresh (higher) tag per
+    operational retry wave — the tag also wins the quarantine LWW (order
+    col ``attempt``), so later recoveries supersede earlier state.
+
+    Scale shape: the quarantine key set is small by assumption (dead
+    letters), so it broadcasts into an equi-join against the log — no log
+    shuffle; decode and the merge reductions are the standard batch stages.
+    """
+    snap = tables.latest()
+    if snap is None:
+        raise FileNotFoundError(f"table set {tables.path} does not exist")
+    if ("retry", tag) in tables.committed_marks():
+        return {"status": "skipped", "snapshot_id": snap["snapshot_id"]}
+    keys = tables.read("quarantine").select("partition_id", "offset")
+    cand = change_log.join(F.broadcast(keys), ["partition_id", "offset"])
+    typed = decode_change_events(cand)
+    clean = typed.filter(F.col("decode_error").isNull())
+    tombstones = clean.select(
+        "partition_id",
+        "offset",
+        "repo",
+        "path",
+        "commit",
+        F.lit(None).cast("string").alias("decode_error"),
+        "ts",
+        F.lit("delete").alias("op"),
+        F.lit(tag).alias("attempt"),
+    )
+    return tables.merge_all(
+        {
+            "source_code": reduce_batch(clean, salt_buckets=salt_buckets),
+            "file_versions": project_file_versions(clean, salt_buckets),
+            "quarantine": tombstones,
+        },
+        [("retry", tag)],
+        metrics={"retry_tag": tag},
     )
 
 

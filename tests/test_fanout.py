@@ -198,3 +198,44 @@ def test_stream_fanout_matches_batch_fanout(spark, tmp_path, log_df, oracle_hash
     )
     q2.awaitTermination()
     assert ts.latest()["snapshot_id"] == sid  # redelivery: all skipped
+
+
+def test_retry_quarantine_recovers_dead_letters(spark, tmp_path, log_df):
+    """Dead-letter replay: after the upstream payloads are repaired, a
+    retry re-decodes exactly the quarantined offsets, merges the recovered
+    rows, tombstones their quarantine entries atomically, and the 3-table
+    state converges to the clean-log one-shot state. Idempotent per tag."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f8"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=1000, on_error="quarantine")
+    n_quarantined = ts.read("quarantine").count()
+    assert n_quarantined > 0
+
+    from sonic_etl_spark.streaming.fanout import retry_quarantine
+
+    # wave 1: payloads still broken -> nothing recovers, state unchanged
+    st1 = retry_quarantine(log_df, ts, tag=1)
+    assert st1["status"] == "committed"
+    assert ts.read("quarantine").count() == n_quarantined
+
+    # wave 2: repaired upstream (same seed, poison off -> same payloads)
+    fixed_log = synthesize_change_events(spark, N)
+    st2 = retry_quarantine(fixed_log, ts, tag=2)
+    assert st2["status"] == "committed"
+    assert ts.read("quarantine").count() == 0
+
+    clean_typed = decode_change_events(fixed_log)
+    expected = {
+        "source_code": _state_hash(
+            reduce_batch(clean_typed).filter("op != 'delete'")
+        ),
+        "file_versions": _state_hash(
+            project_file_versions(clean_typed).filter("op != 'delete'")
+        ),
+    }
+    assert _all_hashes(ts) == expected
+
+    # idempotent: same tag no-ops
+    assert retry_quarantine(fixed_log, ts, tag=2)["status"] == "skipped"
+    # and the range planner still resumes cleanly past the retry marks
+    res = replay_fanout(log_df, ts, chunk_size=1000, on_error="quarantine")
+    assert res.batches_applied == 0
