@@ -245,20 +245,93 @@ def lsh_probe_buckets(
     return F.concat(F.array(bucket), probes)
 
 
-def ivf_assign(
+def seed_centroids(
     emb: DataFrame, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
+    """Deterministic coarse centroids: the first ``n_centroids`` vectors by
+    id, unit-normalized → (centroid_id, cv). The quick-start quantizer;
+    :func:`ivf_train` refines it with spherical k-means."""
+    return emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), normalized(F.col(vec_col)).alias("cv")
+    )
+
+
+def ivf_train(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Learned IVF centroids: spherical k-means (Lloyd's), DataFrame-only.
+
+    Deterministic end to end: init = :func:`seed_centroids` (no RNG), each
+    iteration is (a) broadcast-join argmax-cosine assignment — no corpus
+    shuffle — and (b) an element-wise mean via posexplode → per-(cell, dim)
+    avg → re-assembled and re-normalized. Empty cells keep their previous
+    centroid (left-join fallback), so the cell count never collapses.
+
+    Scale: each iteration shuffles (corpus × dim) skinny rows once on
+    (centroid_id, dim) — fine for coarse quantizers (k ≤ few thousand);
+    at billion-vector scale train on a deterministic sample (e.g.
+    ``emb.where(xxhash64(id) % S == 0)``) — assignment quality needs only
+    a representative sample, and the assign stage is unchanged.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv")
+    )
+    cents = seed_centroids(emb, n_centroids, id_col, vec_col)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    for _ in range(iters):
+        assigned = (
+            v.join(F.broadcast(cents))
+            .select(
+                "vec_id", "nv", "centroid_id",
+                dot(F.col("nv"), F.col("cv")).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("centroid_id", "nv")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("nv").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pairs", lambda p: p["m"]).alias("mean_vec"),
+            )
+            .select("centroid_id", normalized(F.col("mean_vec")).alias("new_cv"))
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
-    Deterministic centroid choice: the first ``n_centroids`` vectors by id
-    (a seeded k-means would slot in identically — the assignment join shape
-    is what matters at scale). Assignment = argmax cosine over the broadcast
+    ``centroids`` defaults to the deterministic :func:`seed_centroids`
+    (the oracle-checked convention); pass :func:`ivf_train` output for
+    learned cells. Assignment = argmax cosine over the broadcast
     centroid set, ties broken by centroid id ascending. One broadcast join +
     one row_number per vector — no shuffle of the corpus.
     """
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), normalized(F.col(vec_col)).alias("cv")
+    cents = centroids if centroids is not None else seed_centroids(
+        emb, n_centroids, id_col, vec_col
     )
     v = emb.select(F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv"))
     scored = (
@@ -280,22 +353,23 @@ def ivf_assign(
 def ann_topk_ivf(
     emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     n_probes: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF cells: candidates share one of the query's
     ``n_probes`` NEAREST centroids (multi-probe); exact cosine re-rank.
     Same join shape as the LSH variant — equi-join on a uniform-ish cell id
     instead of a hyperplane bucket; the probe fan-out multiplies only the
-    (small, broadcast) query side, never the corpus."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col).select(
-        "vec_id", "centroid_id"
+    (small, broadcast) query side, never the corpus. Pass
+    ``centroids=ivf_train(emb)`` for learned cells."""
+    cents = centroids if centroids is not None else seed_centroids(
+        emb, n_centroids, id_col, vec_col
     )
+    assigned = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroids=cents
+    ).select("vec_id", "centroid_id")
     indexed = emb.select(
         F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv")
     ).join(assigned, "vec_id")
-
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), normalized(F.col(vec_col)).alias("cv")
-    )
     qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), normalized(F.col(vec_col)).alias("qv")
     )

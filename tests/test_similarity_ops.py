@@ -167,3 +167,50 @@ def test_top_pairs_guard(spark):
         sim_ops.top_pairs(df, top_k=3, allow_large=True)  # escape hatch
     finally:
         sim_ops.TOP_PAIRS_MAX_ROWS = old
+
+
+def test_ivf_train_beats_seed_centroids_on_adversarial_layout(spark):
+    """Sequential-id cluster layout puts every seed centroid inside ONE
+    cluster (adversarial for first-N-by-id seeding). Spherical k-means must
+    (a) be deterministic, (b) raise mean assignment cosine, and (c) restore
+    multi-probe recall."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(11)
+    n_clusters, per_cluster, dim = 8, 40, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(n_clusters * per_cluster):
+        c = vid // per_cluster  # BLOCK layout: ids 0..39 all cluster 0
+        v = centers[c] + 0.15 * rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+
+    trained = sim_ops.ivf_train(df, n_centroids=8, iters=4).cache()
+    # determinism
+    t2 = sim_ops.ivf_train(df, n_centroids=8, iters=4)
+    a = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in trained.collect())
+    b = sorted((r["centroid_id"], tuple(round(x, 9) for x in r["cv"])) for r in t2.collect())
+    assert a == b
+
+    def mean_cos(cents):
+        out = sim_ops.ivf_assign(df, n_centroids=8, centroids=cents)
+        return out.agg(F.avg("centroid_cos")).first()[0]
+
+    seeded_cos = mean_cos(sim_ops.seed_centroids(df, 8))
+    trained_cos = mean_cos(trained)
+    assert trained_cos > seeded_cos + 0.05, (seeded_cos, trained_cos)
+
+    qids = [10, 50, 90, 170, 250, 310]
+    exact = sim_ops.brute_force_topk(df, qids, k=5).collect()
+    seeded = sim_ops.ann_topk_ivf(df, qids, k=5, n_probes=2).collect()
+    learned = sim_ops.ann_topk_ivf(
+        df, qids, k=5, n_probes=2, centroids=trained
+    ).collect()
+    r_seed, r_learn = _recall(seeded, exact), _recall(learned, exact)
+    assert r_learn >= r_seed
+    assert r_learn >= 0.9, f"learned-centroid recall {r_learn:.2f} (seed {r_seed:.2f})"
+    df.unpersist()
