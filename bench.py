@@ -125,6 +125,50 @@ json.dump({{"wall_sec": round(wall, 2),
         return json.load(f)
 
 
+def run_fanout(cores: int) -> dict:
+    """One fan-out replay (3 tables, one atomic commit per batch) of the
+    same materialized log — quantifies the multi-table cost factor vs the
+    single-table headline."""
+    out = tempfile.mktemp(prefix="bench_fanout_")
+    code = f"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from sonic_etl_spark.session import get_spark
+from sonic_etl_spark.sources.multitable import TransactionalTableSet
+from sonic_etl_spark.streaming.fanout import replay_fanout
+from sonic_etl_spark.log import synthesize_change_events
+from sonic_etl_spark.sources import TransactionalParquetTable
+from sonic_etl_spark.streaming import replay
+spark = get_spark("bench-fanout", master="local[{cores}]",
+                  shuffle_partitions={max(cores, 32)})
+spark.sparkContext.setLogLevel("ERROR")
+warm = synthesize_change_events(spark, 20000, num_slices={cores})
+wtab = TransactionalParquetTable(spark, tempfile.mkdtemp(prefix="warm_tab_"),
+                                 n_buckets=8)
+replay(warm, wtab, chunk_size=10000, validate=False)
+log = spark.read.parquet({LOG_DIR!r})
+tdir = tempfile.mkdtemp(prefix="bench_fanout_tab_")
+ts = TransactionalTableSet(spark, tdir, n_buckets=64)
+t0 = time.time()
+res = replay_fanout(log, ts, chunk_size={max(N_EVENTS // 16, 1)},
+                    on_error="fail", salt_buckets=32)
+wall = time.time() - t0
+counts = {{n: ts.read(n).count() for n in ("source_code", "file_versions")}}
+shutil.rmtree(tdir, ignore_errors=True)
+json.dump({{"wall_sec": round(wall, 2),
+           "events_per_sec": round(res.rows_seen / wall, 1),
+           "rows": res.rows_seen, "tables": counts}}, open({out!r}, "w"))
+"""
+    subprocess.run(
+        [sys.executable, "-c", code],
+        check=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
 def best_replay(cores: int, attempts: int) -> dict:
     """Best-of-N replay (sandbox I/O noise is ±50% run-to-run; peak
     throughput is the capability number the scaling rule compares)."""
@@ -163,6 +207,8 @@ def main() -> None:
     # capability on this ±50%-noise host (memory/sandbox-perf-traps)
     replay_peak = best_replay(peak, attempts)
     result: dict = {"events": N_EVENTS, "peak_cores": peak, "peak": replay_peak}
+    if os.environ.get("SPARK_GRAFT_BENCH_FANOUT", "1") != "0":
+        result["fanout"] = run_fanout(peak)
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         r_high = best_replay(high, attempts)
         # the low-parallelism run is long and low-variance; one attempt
