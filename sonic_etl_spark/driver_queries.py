@@ -528,6 +528,41 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash window-minimum) fingerprint overlap —
+    position-robust partial-dup detection; the df-capped fingerprint join
+    shares the shingle-Jaccard scale shape."""
+    return text_ops.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _winnow_sql(k: int = 5, w: int = 4, top_k: int = 20, cap: int = 1000) -> str:
+    # hash list hoisted per doc (md5 once per k-gram); windows slice the
+    # stored list — the inlined form re-hashed per window, ~w× the md5s
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - {k - 1} + 1),
+                        i -> substr(md5(substr(t, i, {k})), 1, 15)) AS hs
+  FROM norm WHERE length(t) >= {k + w - 1}),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, len(hs) - {w - 1} + 1),
+             j -> list_min(hs[j:j + {w - 1}])))) AS fp
+    FROM h)),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {cap}),
+fpc AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared DESC, doc_a, doc_b LIMIT {top_k}
+"""
+
+
 # catalog entries for the driver's document languages (the testdata analog of
 # the static ABI catalog, erc.rs:13-187); 'zh' is deliberately absent → its
 # rows decode-miss to NULL (NotFound semantics, generic.rs:5-31 / common.rs:484).
@@ -1062,6 +1097,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, _lang_id_sql()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "winnow_overlap_pairs": (q_winnow_overlap, _winnow_sql()),
     "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
     "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup

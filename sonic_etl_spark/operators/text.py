@@ -129,3 +129,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(norm, 256).alias("fp_sha256"),
         F.substring(F.md5(norm), 1, 16).alias("fp_md5_64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    char ``k``-gram, keep the MINIMUM hash of each ``w``-wide window, dedup.
+
+    Guarantees of the scheme: any shared substring of length ≥ ``k + w - 1``
+    contributes at least one shared fingerprint, while only ~2/(w+1) of all
+    k-gram hashes are kept — position-robust partial-overlap detection at a
+    fraction of the shingle volume. Fixed-width hex md5 prefixes keep
+    hash-min == lexicographic-min so the DuckDB oracle reproduces it
+    exactly (same convention as the MinHash signatures).
+
+    All column expressions (sequence/transform/slice/array_min/explode) —
+    no UDF; output (doc_id, fp) rows.
+    """
+    from sonic_etl_spark.operators.dedup import _fanout
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+    n_kgrams = F.length(norm) - (k - 1)
+    # STAGED: the k-gram hash array is materialized by its own projection so
+    # the window pass slices a bound column. Referencing the transform
+    # expression from inside the second lambda would re-inline (and
+    # re-evaluate) the whole hash array once PER WINDOW — O(len²) md5s, the
+    # same expression-duplication trap as the codec withColumn chains
+    # (measured 83s → 3s on sf0.01 documents).
+    hashed = _fanout(df).select(
+        "doc_id",
+        F.length(norm).alias("_len"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
+            lambda i: F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15),
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    # guard: sequence(1, n<1) counts DOWN (same pitfall as dedup.shingles) —
+    # a doc shorter than k+w-1 chars has no full window and yields no rows
+    fps = F.when(
+        F.col("_len") < (k + w - 1), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(mins))
+    return hashed.select("doc_id", F.explode(fps).alias("fp")).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4,
+    top_k: int | None = 20, max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Partial-overlap detection: pairs ranked by shared winnowing
+    fingerprints. Same scale shape as the shingle Jaccard join — candidates
+    only materialize where fingerprints collide, with the same df-cap
+    guarding corpus-wide stop-fingerprints."""
+    fp = winnow_fingerprints(df, text_col, k, w)
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, on="fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if top_k is not None:
+        pairs = pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(top_k)
+    return pairs

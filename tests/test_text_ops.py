@@ -64,3 +64,28 @@ def test_token_count_regex(spark):
     n = df.select(text_ops.token_count_regex(F.col("text")).alias("n")).first()["n"]
     # ab, 12, cd, -, ef, !
     assert n == 6
+
+
+def test_winnowing_guarantee_and_short_doc(spark):
+    """The winnowing guarantee: docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; docs shorter than that
+    produce none; disjoint docs share none."""
+    from sonic_etl_spark.operators.text import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "cccc " + shared + " dddd"),          # same substring, new position
+        (3, "entirely different words here now"),
+        (4, "tiny"),                               # < k+w-1 chars -> no fps
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df)
+    per_doc = {r["doc_id"] for r in fps.select("doc_id").distinct().collect()}
+    assert 4 not in per_doc
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, top_k=None).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 1          # guarantee holds
+    assert (1, 3) not in pairs or pairs[(1, 3)] < pairs[(1, 2)]
