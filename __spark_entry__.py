@@ -18,7 +18,19 @@ from sonic_etl_spark.driver_queries import QUERIES
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: last-writer-wins
-    convergence of the events change feed (the engine's merge-apply shape)."""
+    convergence of the events change feed (the engine's merge-apply shape).
+
+    Side effect by design: materializes the synthesized change logs the
+    CDC/fanout oracles read (fixed /tmp parquet paths), so those DuckDB
+    oracles are valid regardless of the driver's per-query ordering."""
+    from sonic_etl_spark.driver_queries import (
+        CDC_LOG_PATH,
+        POISON_LOG_PATH,
+        _materialize_log,
+    )
+
+    _materialize_log(spark, CDC_LOG_PATH)
+    _materialize_log(spark, POISON_LOG_PATH, poison_fraction=0.05)
     fn, _ = QUERIES["lww_converge"]
     return fn(spark, "/root/testdata/sf0.001")
 

@@ -53,3 +53,34 @@ def test_numeric_checked_matches_python(spark, values):
             assert g is not None and int(g) == v
         else:
             assert g is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key (few -> collisions)
+            st.integers(min_value=0, max_value=100),  # payload
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_lww_equals_max_per_key(spark, rows):
+    """The engine's two-phase salted reduction must equal a plain
+    max-per-key for ANY input and salt assignment (associativity of max).
+    Order keys are made unique by enumeration, as the replay total order
+    (offset, partition_id, commit) is by construction."""
+    from sonic_etl_spark.operators.merge import salted_lww
+
+    data = [(k, i, p) for i, (k, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, ord long, payload long")
+    got = {
+        r["k"]: (r["ord"], r["payload"])
+        for r in salted_lww(df, ["k"], ["ord"], salt_buckets=4).collect()
+    }
+    expected = {}
+    for k, o, p in data:
+        if k not in expected or o > expected[k][0]:
+            expected[k] = (o, p)
+    assert got == expected
