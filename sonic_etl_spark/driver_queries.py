@@ -10,8 +10,10 @@ Cross-engine determinism rules applied throughout (so value-hashes match):
 
 - counts/sizes cast to BIGINT on both sides (Spark ``size``/``length`` are
   INT, DuckDB's are BIGINT);
-- doubles rounded (2dp for money sums, 4dp ratios, 6dp cosines/jaccard) —
-  both engines round half-away-from-zero for the values produced here;
+- money sums emitted as exact DECIMAL(18,2) on both sides (no double cast —
+  cross-engine representability on x.xx5 edges is not a hazard we accept);
+  other doubles rounded (4dp ratios, 6dp cosines/jaccard) — both engines
+  round half-away-from-zero for the values produced here;
 - timestamps compared as floor-epoch BIGINT (DuckDB ``epoch()`` keeps
   fractional seconds and its CAST rounds, Spark's ``unix_timestamp`` floors);
 - portable hashing only (md5/sha2), fixed-width hex min == numeric min;
@@ -52,15 +54,18 @@ def _exact_money_sum(col: str) -> F.Column:
     """Order-independent money sum: a DOUBLE sum is not associative, so the
     pre-round value can cross a .005 boundary depending on partition order
     (the r01 ``user_activity`` hash flake). Summing exact decimals makes the
-    aggregate bit-stable on any engine/partitioning; the cast back to double
-    keeps the published column type. Inputs are 2-dp doubles, so the
-    decimal(18,4) per-row cast is exact."""
-    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2)
+    aggregate bit-stable on any engine/partitioning, and the published type
+    stays DECIMAL(18,2) end-to-end — no final double cast, whose last-bit
+    representability could differ across engines on x.xx5 edges. Inputs are
+    2-dp doubles, so the decimal(18,4) per-row cast is exact and the scale-2
+    narrowing never rounds."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("decimal(18,2)")
 
 
 def _sql_exact_money_sum(col: str) -> str:
-    """DuckDB mirror of :func:`_exact_money_sum` (same exact-decimal sum)."""
-    return f"round(CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DOUBLE), 2)"
+    """DuckDB mirror of :func:`_exact_money_sum` (same exact-decimal sum,
+    same DECIMAL(18,2) output type)."""
+    return f"CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DECIMAL(18,2))"
 
 
 # --------------------------------------------------------------------- core
@@ -396,7 +401,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_USER_ACTIVITY = f"""
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
        {_sql_exact_money_sum('value')} AS total_value,
        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
 FROM events GROUP BY 1
