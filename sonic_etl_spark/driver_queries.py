@@ -869,18 +869,109 @@ WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.2
 """
 
 
+def _plane_sql_arrays() -> list[str]:
+    return [
+        "[" + ",".join(f"{float(x):.1f}" for x in row) + "]"
+        for row in sim_ops.PLANES
+    ]
+
+
+def _lsh_bucket_sql() -> str:
+    """The P-bit hyperplane bucket as a DuckDB expression (mirrors
+    ``sim_ops.lsh_bucket``: sign of raw-vector dot per plane)."""
+    terms = [
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, arr in enumerate(_plane_sql_arrays())
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
 def _ann_buckets_sql() -> str:
-    terms = []
-    for p, row in enumerate(sim_ops.PLANES):
-        arr = "[" + ",".join(f"{float(x):.1f}" for x in row) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-        )
-    return (
-        "SELECT vec_id, CAST(" + " + ".join(terms) + " AS INTEGER) AS bucket "
-        "FROM embeddings"
+    return f"SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings"
+
+
+def _ann_topk_lsh_sql(n_probes: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of ``sim_ops.ann_topk_lsh`` — expressible because every
+    ingredient is deterministic: md5-derived ±1 hyperplanes (module
+    constants, shared verbatim), raw-dot plane confidences, multi-probe =
+    flip the (n_probes-1) least-confident plane bits on the QUERY side only
+    (tie-break (|dot|, flipped-bucket), matching Spark's struct array_sort),
+    then exact re-rank. Same left-to-right dot fold both engines."""
+    arrs = _plane_sql_arrays()
+    dots = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {arrs[p]}::DOUBLE[]) AS d{p}"
+        for p in range(len(arrs))
     )
+    flip_rows = " UNION ALL ".join(
+        f"SELECT query_id, qv, abs(d{p}) AS a, "
+        f"CAST(xor(bucket, {1 << p}) AS INTEGER) AS flipped FROM q"
+        for p in range(len(arrs))
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {NORM_SQL} AS qv, {_lsh_bucket_sql()} AS bucket, {dots}
+  FROM embeddings WHERE vec_id < 10),
+pf AS (
+  SELECT query_id, qv, flipped,
+         row_number() OVER (PARTITION BY query_id ORDER BY a, flipped) AS rn
+  FROM ({flip_rows})),
+probes AS (
+  SELECT query_id, qv, bucket AS probe_bucket FROM q
+  UNION ALL
+  SELECT query_id, qv, flipped FROM pf WHERE rn <= {n_probes - 1}),
+c AS (SELECT vec_id, {NORM_SQL} AS nv, {_lsh_bucket_sql()} AS bucket FROM embeddings),
+s AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv, nv), 6) AS cos_sim
+  FROM probes JOIN c ON probes.probe_bucket = c.bucket
+  WHERE query_id <> c.vec_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s QUALIFY rank <= {k}
+"""
+
+
+def _ann_topk_ivf_sql(
+    n_probes: int = 4, k: int = 5, n_centroids: int = 16,
+    q_lo: int = 20, q_hi: int = 30,
+) -> str:
+    """DuckDB mirror of ``sim_ops.ann_topk_ivf`` over seeded centroids —
+    deterministic end to end: cells = first ``n_centroids`` vectors,
+    corpus assignment by ROUNDED cosine (exactly ``ivf_assign``'s rule,
+    ties → lowest centroid id), query probes = ``n_probes`` nearest cells
+    by RAW cosine (ties → lowest centroid id), exact re-rank, DISTINCT
+    because two probes can reach the same neighbor."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, {NORM_SQL} AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}),
+v AS (SELECT vec_id, {NORM_SQL} AS nv FROM embeddings),
+assigned AS (
+  SELECT vec_id, nv, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_dot_product(nv, cv), 6) DESC,
+                                     centroid_id) AS rn
+  FROM v, cents QUALIFY rn = 1),
+q AS (SELECT vec_id AS query_id, {NORM_SQL} AS qv
+      FROM embeddings WHERE vec_id >= {q_lo} AND vec_id < {q_hi}),
+probes AS (
+  SELECT query_id, qv, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(qv, cv) DESC,
+                                     centroid_id) AS pr
+  FROM q, cents QUALIFY pr <= {n_probes}),
+s AS (
+  SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qv, nv), 6) AS cos_sim
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE query_id <> a.vec_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s QUALIFY rank <= {k}
+"""
 
 
 # --------------------------------------- non-SQL-expressible (rows-only)
@@ -909,8 +1000,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
-    tests/test_similarity_ops.py). Approximate by design → rows-only; the
-    underlying cosine exactness is oracle-covered by emb_cosine_topk."""
+    tests/test_similarity_ops.py). Approximate vs BRUTE FORCE, but fully
+    deterministic given the md5-seeded planes — so it IS oracle-expressible
+    (``_ann_topk_lsh_sql`` replays planes, probe selection and re-rank)."""
     return sim_ops.ann_topk_lsh(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, n_probes=4
     )
@@ -918,8 +1010,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe IVF (4 nearest cells; recall ≥0.9 vs brute
-    force pytest-measured). Approximate by design → rows-only; the cell
-    assignment itself is oracle-checked by ivf_assign."""
+    force pytest-measured). Approximate vs BRUTE FORCE, but deterministic
+    given the seeded centroids — oracle-expressible (``_ann_topk_ivf_sql``
+    replays cells, rounded assignment, probe selection and re-rank)."""
     return sim_ops.ann_topk_ivf(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(20, 30)), k=5,
         n_probes=4,
@@ -1116,11 +1209,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
-    # rows-only (non-SQL-expressible)
+    "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
+    "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
+    # rows-only (non-SQL-expressible: media codec stages)
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_frames": (q_multimodal_frames, None),
-    "ann_topk_lsh": (q_ann_topk_lsh, None),
-    "ann_topk_ivf": (q_ann_topk_ivf, None),
     "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
     "fanout_invariants": (q_fanout_invariants, SQL_FANOUT_INVARIANTS),
     "quarantine_by_class": (q_quarantine_by_class, SQL_QUARANTINE),
