@@ -1019,12 +1019,22 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed materialization paths for the synthesized change log: the engine
-# queries write them, then their DuckDB oracles read them back — making the
-# engine's replay claims driver-verified instead of self-verified. Content is
-# a pure function of (seed=42, n=20000), independent of sf and parallelism.
-CDC_LOG_PATH = "/tmp/sonic_etl_spark_cdc_log.parquet"
-POISON_LOG_PATH = "/tmp/sonic_etl_spark_cdc_log_poison.parquet"
+# Materialization paths for the synthesized change log: the engine queries
+# write them, then their DuckDB oracles read them back — making the engine's
+# replay claims driver-verified instead of self-verified. Content is a pure
+# function of (seed=42, n=20000), independent of sf and parallelism.
+#
+# The paths live under a PER-PROCESS mkdtemp (mode 0700), resolved once at
+# import: the oracle SQL strings below embed the same path at build time, so
+# Spark-write-then-DuckDB-read stays coherent within a process while two
+# concurrent driver/crosscheck runs can no longer clobber each other's log
+# (and the location is not a predictable world-writable /tmp name).
+import os as _os
+import tempfile as _tempfile
+
+_LOG_TMPDIR = _tempfile.mkdtemp(prefix="sonic_etl_spark_logs_")
+CDC_LOG_PATH = _os.path.join(_LOG_TMPDIR, "cdc_log.parquet")
+POISON_LOG_PATH = _os.path.join(_LOG_TMPDIR, "cdc_log_poison.parquet")
 
 
 def _materialize_log(spark: SparkSession, path: str, **kw) -> DataFrame:

@@ -50,6 +50,24 @@ def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def estimate_media_bytes(media: DataFrame) -> int:
+    """Total payload bytes from the metadata struct — ONE column-pruned
+    aggregate (never touches the binary column). Compute it once per
+    composed pipeline (attach → resize → extract → frames) and thread the
+    result through each stage's ``n_bytes_hint`` so chained stages don't
+    each pay a sizing action."""
+    return media.agg(F.sum("meta.n_bytes")).first()[0] or 0
+
+
+def _n_parts(
+    media: DataFrame, target_batch_bytes: int, n_bytes_hint: int | None
+) -> int:
+    """Size-budgeted partition count; a provided hint skips the metadata
+    scan entirely (zero jobs at plan-construction time)."""
+    total = estimate_media_bytes(media) if n_bytes_hint is None else n_bytes_hint
+    return max(1, int(total // target_batch_bytes) + 1)
+
+
 def decode_media(payload: bytes, media_type: str) -> bytes:
     """STUB — real codecs (PIL/librosa/ffmpeg) are not in this container.
 
@@ -70,6 +88,7 @@ def extract_features(
     *,
     feat_dim: int = 8,
     target_batch_bytes: int = 64 << 20,
+    n_bytes_hint: int | None = None,
     decode_fn=decode_media,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
@@ -78,8 +97,7 @@ def extract_features(
     to test batch shape, schema, and determinism. ``feat_checksum`` lets
     golden tests assert byte-exact decode without storing vectors.
     """
-    n_bytes_total = media.agg(F.sum("meta.n_bytes")).first()[0] or 0
-    n_parts = max(1, int(n_bytes_total // target_batch_bytes) + 1)
+    n_parts = _n_parts(media, target_batch_bytes, n_bytes_hint)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,6 +130,7 @@ def resize_media(
     *,
     target_bytes: int = 256,
     target_batch_bytes: int = 64 << 20,
+    n_bytes_hint: int | None = None,
     decode_fn=decode_media,
 ) -> DataFrame:
     """Arrow-batched resize: decode → downsample → re-encode, same schema out.
@@ -122,8 +141,7 @@ def resize_media(
     ``target_bytes`` (an image resample would slot into the same loop via
     ``decode_fn``/PIL); metadata is rewritten to the post-resize size.
     """
-    n_bytes_total = media.agg(F.sum("meta.n_bytes")).first()[0] or 0
-    n_parts = max(1, int(n_bytes_total // target_batch_bytes) + 1)
+    n_parts = _n_parts(media, target_batch_bytes, n_bytes_hint)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,6 +182,7 @@ def frame_sample(
     frame_bytes: int = 64,
     every_k: int = 4,
     target_batch_bytes: int = 64 << 20,
+    n_bytes_hint: int | None = None,
     decode_fn=decode_media,
 ) -> DataFrame:
     """Arrow-batched frame sampling: one input payload → one ROW PER SAMPLED
@@ -175,8 +194,7 @@ def frame_sample(
     container demuxer slots into ``decode_fn``. frame_checksum supports
     golden byte-exactness tests without storing frames.
     """
-    n_bytes_total = media.agg(F.sum("meta.n_bytes")).first()[0] or 0
-    n_parts = max(1, int(n_bytes_total // target_batch_bytes) + 1)
+    n_parts = _n_parts(media, target_batch_bytes, n_bytes_hint)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

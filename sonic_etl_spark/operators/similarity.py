@@ -260,6 +260,7 @@ def seed_centroids(
 def ivf_train(
     emb: DataFrame, n_centroids: int = 16, iters: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Learned IVF centroids: spherical k-means (Lloyd's), DataFrame-only.
 
@@ -269,15 +270,25 @@ def ivf_train(
     avg → re-assembled and re-normalized. Empty cells keep their previous
     centroid (left-join fallback), so the cell count never collapses.
 
-    Scale: each iteration shuffles (corpus × dim) skinny rows once on
-    (centroid_id, dim) — fine for coarse quantizers (k ≤ few thousand);
-    at billion-vector scale train on a deterministic sample (e.g.
-    ``emb.where(xxhash64(id) % S == 0)``) — assignment quality needs only
-    a representative sample, and the assign stage is unchanged.
+    Scale path (the production defaults at 10^9 vectors):
+
+    - ``sample_mod=S`` trains on the deterministic hash sample
+      ``pmod(xxhash64(id), S) == 0`` (~1/S of the corpus). Assignment
+      quality needs only a representative sample; the downstream
+      :func:`ivf_assign` stage still covers every vector.
+    - The k×dim centroids are **collected to the driver after every
+      iteration** and re-emitted as a literal DataFrame (a few KB), so
+      iteration i+1's broadcast join does not replay iterations 0..i and —
+      critically — the RETURNED frame is a LocalRelation: any downstream
+      action (``ivf_assign``, ``ann_topk_ivf``) scans the corpus exactly
+      once instead of re-running the whole Lloyd's lineage per action.
     """
     v = emb.select(
         F.col(id_col).alias("vec_id"), normalized(F.col(vec_col)).alias("nv")
     )
+    if sample_mod is not None and sample_mod > 1:
+        v = v.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
+    spark = emb.sparkSession
     cents = seed_centroids(emb, n_centroids, id_col, vec_col)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     for _ in range(iters):
@@ -307,13 +318,16 @@ def ivf_train(
             )
             .select("centroid_id", normalized(F.col("mean_vec")).alias("new_cv"))
         )
-        cents = (
+        merged = (
             cents.join(means, "centroid_id", "left")
             .select(
                 "centroid_id",
                 F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
             )
         )
+        # k×dim doubles — collect() truncates the lineage so the next
+        # iteration (and every downstream action) starts from a literal.
+        cents = spark.createDataFrame(merged.collect(), schema=merged.schema)
     return cents
 
 

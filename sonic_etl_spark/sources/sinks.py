@@ -114,16 +114,26 @@ class TableSink:
 
 
 class JsonlChunkSink:
-    """File-stream sink: chunked JSONL per batch, idempotent by manifest.
+    """File-stream sink: chunked JSONL per batch, idempotent by OFFSET SPAN.
 
     The Kafka-less stand-in proving the sink abstraction: each batch writes
     to a directory DETERMINISTICALLY NAMED by its manifest entries (the
-    reference's `{name}_{i}.jsonl`-per-offset-range naming, gcs.rs:99-115);
-    a redelivered batch sees the completed marker and no-ops — the same
-    exactly-once contract the table sink gets from its snapshot manifest.
+    reference's `{name}_{i}.jsonl`-per-offset-range naming, gcs.rs:99-115).
     ``chunk_records`` mirrors the Pub/Sub 900-message chunking
     (google_pubsub.rs:122) via maxRecordsPerFile.
+
+    Exactly-once holds across RE-BATCHED redelivery, not just identical
+    redelivery: a ``_published_spans.json`` ledger records every committed
+    (partition, lo, hi) span; an incoming manifest is reduced to its
+    UNCOVERED remainder (interval subtraction), rows are filtered to those
+    spans via (last_partition_id, last_offset), and the ledger is advanced
+    atomically (tmp + rename) only after the files land. A restart with a
+    fresh checkpoint and a different ``max_files_per_trigger`` therefore
+    re-publishes nothing that already reached the directory, regardless of
+    how the offsets were re-chunked.
     """
+
+    LEDGER = "_published_spans.json"
 
     def __init__(self, path: str, chunk_records: int = 900):
         import os
@@ -138,15 +148,92 @@ class JsonlChunkSink:
             f"p{p}-{s}-{e}" for p, s, e in sorted(tuple(m) for m in manifest_entries)
         )
 
+    # ---------------------------------------------------------- span ledger
+    def _ledger_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.LEDGER)
+
+    def _read_ledger(self) -> list[tuple[int, int, int]]:
+        import json
+        import os
+
+        p = self._ledger_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [tuple(x) for x in json.load(f)]
+
+    def _write_ledger(self, spans: list[tuple[int, int, int]]) -> None:
+        import json
+        import os
+
+        tmp = self._ledger_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted([list(s) for s in spans]), f)
+        os.replace(tmp, self._ledger_path())  # atomic on POSIX
+
+    @staticmethod
+    def _subtract_covered(
+        entries, covered: list[tuple[int, int, int]]
+    ) -> list[tuple[int, int, int]]:
+        """Incoming (p, lo, hi) entries minus already-published intervals."""
+        by_part: dict[int, list[tuple[int, int]]] = {}
+        for p, lo, hi in covered:
+            by_part.setdefault(p, []).append((lo, hi))
+        out = []
+        for p, lo, hi in (tuple(m) for m in entries):
+            pieces = [(lo, hi)]
+            for clo, chi in sorted(by_part.get(p, [])):
+                nxt = []
+                for plo, phi in pieces:
+                    if chi < plo or clo > phi:  # disjoint
+                        nxt.append((plo, phi))
+                        continue
+                    if plo < clo:
+                        nxt.append((plo, clo - 1))
+                    if phi > chi:
+                        nxt.append((chi + 1, phi))
+                pieces = nxt
+            out.extend((p, s, e) for s, e in pieces)
+        return sorted(out)
+
+    @staticmethod
+    def _merge_spans(spans: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+        merged: list[tuple[int, int, int]] = []
+        for p, lo, hi in sorted(spans):
+            if merged and merged[-1][0] == p and lo <= merged[-1][2] + 1:
+                lp, llo, lhi = merged[-1]
+                merged[-1] = (lp, llo, max(lhi, hi))
+            else:
+                merged.append((p, lo, hi))
+        return merged
+
     def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:
         import os
 
-        out = os.path.join(self.path, self._batch_dir(manifest_entries))
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            return {"status": "skipped", "path": out}
+        covered = self._read_ledger()
+        todo = self._subtract_covered(manifest_entries, covered)
+        if not todo:
+            return {"status": "skipped", "path": None}
+        out = os.path.join(self.path, self._batch_dir(todo))
+        # filter rows to the uncovered spans (no-op when nothing was covered)
+        if len(todo) != len(list(manifest_entries)) or covered:
+            cond = None
+            for p, lo, hi in todo:
+                c = (
+                    (F.col("last_partition_id") == p)
+                    & F.col("last_offset").between(lo, hi)
+                )
+                cond = c if cond is None else (cond | c)
+            updates = updates.where(cond)
         (
             updates.write.option("maxRecordsPerFile", str(self.chunk_records))
             .mode("overwrite")
             .json(out)
         )
+        # advance the ledger only after the files are fully on disk; a crash
+        # in between makes the next delivery rewrite the SAME dir (same
+        # uncovered spans -> same name, overwrite mode), still exactly-once
+        self._write_ledger(self._merge_spans(covered + todo))
         return {"status": "committed", "path": out}

@@ -32,7 +32,6 @@ from sonic_etl_spark.operators.merge import (
     KEY_COLS,
     ORDER_COLS,
     SOURCE_CODE_FIELDS,
-    assert_no_decode_errors,
     observe_decode_errors,
     reduce_batch,
 )
@@ -154,13 +153,18 @@ def repair_gaps(
             manifest = [(pid, s, e)]
             raw = filter_to_manifests(change_log, manifest)
             typed = decode_change_events(raw)
+            check = None
             if validate:
-                n_rows = assert_no_decode_errors(typed)
-            else:
-                n_rows = e - s + 1  # dense log
+                # same fail-the-batch path as replay(): error counts ride
+                # the merge's own write job (no second decode pass)
+                typed, check = observe_decode_errors(typed)
+            n_rows = e - s + 1  # dense log
             updates = reduce_batch(typed, salt_buckets=salt_buckets)
             bm = {"repair": True, "manifest": [list(m) for m in manifest], "rows": n_rows}
-            status = table.merge(updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm)
+            status = table.merge(
+                updates, manifest, KEY_COLS, ORDER_COLS, metrics=bm,
+                pre_commit_check=check,
+            )
             bm["elapsed_sec"] = round(time.time() - bt0, 3)
             bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
             bm["status"] = status["status"]

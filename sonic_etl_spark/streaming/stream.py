@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from sonic_etl_spark.functions.codec import decode_change_events
 from sonic_etl_spark.log.synthesis import CHANGE_EVENT_COLUMNS
@@ -54,13 +55,24 @@ CHANGE_LOG_DDL = (
 
 
 def observed_manifests(batch: DataFrame) -> list[tuple[int, int, int]]:
-    """Per-partition (min_offset, max_offset) spans of a micro-batch."""
+    """Per-partition maximal DENSE offset runs of a micro-batch
+    (gaps-and-islands, not min/max): if the file source hands a batch two
+    non-adjacent log files, a (min, max) span would claim the hole between
+    them — poisoning span-keyed exactly-once (JsonlChunkSink's ledger) and
+    overstating the snapshot manifest. Runs assert only offsets actually
+    present. The window sorts per partition within one micro-batch — a
+    bounded metadata aggregate (use operators.audit.islands for
+    unbounded/global runs)."""
+    w = Window.partitionBy("partition_id").orderBy("offset")
     rows = (
-        batch.groupBy("partition_id")
+        batch.select("partition_id", "offset")
+        .distinct()
+        .withColumn("_grp", F.col("offset") - F.row_number().over(w))
+        .groupBy("partition_id", "_grp")
         .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
         .collect()
     )
-    return [(r["partition_id"], r["lo"], r["hi"]) for r in rows]
+    return sorted((r["partition_id"], r["lo"], r["hi"]) for r in rows)
 
 
 def stream_replay(

@@ -74,3 +74,43 @@ def test_frame_sample_row_fanout(spark):
     assert all(r["n_frames"] == 10 for r in frames)
     assert all(len(r["frame"]) == 64 for r in frames)
     assert all(r["frame_checksum"] == 64 * ord("A") for r in frames)
+
+
+def test_n_bytes_hint_skips_sizing_jobs(spark):
+    """A composed attach → resize → extract → frames chain should pay ONE
+    metadata sizing pass (estimate_media_bytes), not one per stage: with
+    n_bytes_hint provided, stage plan-construction launches ZERO Spark jobs,
+    and the results are identical to the self-sizing path."""
+    sc = spark.sparkContext
+    media = mm_ops.attach_media(_docs(spark))
+    total = mm_ops.estimate_media_bytes(media)
+    assert total > 0
+
+    sc.setJobGroup("mm-hint", "hint path must not run jobs")
+    try:
+        feats_hint = mm_ops.extract_features(media, n_bytes_hint=total)
+        small_hint = mm_ops.resize_media(media, target_bytes=64, n_bytes_hint=total)
+        frames_hint = mm_ops.frame_sample(media, n_bytes_hint=total)
+        jobs = sc.statusTracker().getJobIdsForGroup("mm-hint")
+        assert list(jobs) == [], f"hinted construction ran jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+
+    # self-sizing construction runs the sizing action (AQE may split the
+    # one agg into >1 job); the contract under test is hinted == 0 jobs
+    sc.setJobGroup("mm-nohint", "self-sizing runs the sizing action")
+    try:
+        feats_auto = mm_ops.extract_features(media)
+        assert len(sc.statusTracker().getJobIdsForGroup("mm-nohint")) >= 1
+    finally:
+        sc.setJobGroup("", "")
+
+    def key(df):
+        return sorted(
+            (r["doc_id"], r["feat_checksum"], tuple(r["feature"]))
+            for r in df.collect()
+        )
+
+    assert key(feats_hint) == key(feats_auto)
+    assert small_hint.count() == media.count()
+    assert frames_hint.count() > 0

@@ -154,6 +154,20 @@ def test_jsonl_chunk_sink_streaming_and_idempotence(spark, tmp_path):
             os.path.join(str(tmp_path / "out"), d, "_SUCCESS")
         ) == mtimes[d], f"{d} was rewritten on redelivery"
 
+    # RE-BATCHED redelivery: fresh checkpoint AND a different trigger size
+    # produce different manifest sets for the same offsets — the span ledger
+    # (not the dir-name guard) must keep every offset exactly-once
+    q3 = stream_replay(
+        spark, log_dir, sink,
+        checkpoint_dir=str(tmp_path / "ck3"), max_files_per_trigger=1,
+    )
+    q3.awaitTermination()
+    rebatched = sorted(
+        d for d in os.listdir(str(tmp_path / "out")) if d.startswith("batch_")
+    )
+    assert rebatched == batch_dirs, "re-batched redelivery created new dirs"
+    assert spark.read.json(str(tmp_path / "out") + "/batch_*").count() == n_rows
+
 
 def test_json_record_files_fixture_sink(spark, tmp_path):
     import json

@@ -214,3 +214,46 @@ def test_ivf_train_beats_seed_centroids_on_adversarial_layout(spark):
     assert r_learn >= r_seed
     assert r_learn >= 0.9, f"learned-centroid recall {r_learn:.2f} (seed {r_seed:.2f})"
     df.unpersist()
+
+
+def test_ivf_train_truncates_lineage_and_supports_sampling(spark):
+    """The 100TB contract for ivf_train: (a) the returned centroids are a
+    LocalRelation — downstream actions (ivf_assign / ann_topk_ivf) must NOT
+    replay the Lloyd's iterations, so the corpus is scanned once per action,
+    not once per iteration per action; (b) sample_mod trains on the
+    deterministic xxhash64 sample and stays reproducible; (c) sample_mod=1
+    (or None) is the exact full-corpus path."""
+    df = _clustered_corpus(spark, n_clusters=8, per_cluster=30)
+
+    trained = sim_ops.ivf_train(df, n_centroids=8, iters=2)
+    plan = trained._jdf.queryExecution().optimizedPlan().toString()
+    # a driver-local leaf (LogicalRDD from createDataFrame / LocalRelation),
+    # with no Lloyd's join lineage left to replay on downstream actions
+    assert "LogicalRDD" in plan or "LocalRelation" in plan, plan
+    assert "Join" not in plan, plan
+
+    def key(frame):
+        return sorted(
+            (r["centroid_id"], tuple(round(x, 12) for x in r["cv"]))
+            for r in frame.collect()
+        )
+
+    # sample_mod=1 keeps every row -> byte-equal to the default path
+    assert key(sim_ops.ivf_train(df, n_centroids=8, iters=2, sample_mod=1)) == key(
+        trained
+    )
+
+    # sampled training: deterministic, full cell count, unit-norm output
+    s1 = sim_ops.ivf_train(df, n_centroids=8, iters=2, sample_mod=3)
+    s2 = sim_ops.ivf_train(df, n_centroids=8, iters=2, sample_mod=3)
+    assert key(s1) == key(s2)
+    rows = s1.collect()
+    assert len(rows) == 8
+    for r in rows:
+        norm = sum(x * x for x in r["cv"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+
+    # sampled centroids still assign every corpus vector (assign stage
+    # unchanged) and remain usable for ANN
+    assigned = sim_ops.ivf_assign(df, n_centroids=8, centroids=s1)
+    assert assigned.count() == df.count()
