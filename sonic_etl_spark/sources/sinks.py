@@ -113,68 +113,42 @@ class TableSink:
         return status
 
 
-class JsonlChunkSink:
-    """File-stream sink: chunked JSONL per batch, idempotent by OFFSET SPAN.
+class SpanLedger:
+    """Published-(partition, offset)-span ledger shared by transport sinks.
 
-    The Kafka-less stand-in proving the sink abstraction: each batch writes
-    to a directory DETERMINISTICALLY NAMED by its manifest entries (the
-    reference's `{name}_{i}.jsonl`-per-offset-range naming, gcs.rs:99-115).
-    ``chunk_records`` mirrors the Pub/Sub 900-message chunking
-    (google_pubsub.rs:122) via maxRecordsPerFile.
+    Sinks without a transactional manifest (files, HTTP, brokers) get their
+    exactly-once from this: every committed batch's dense offset spans are
+    appended (atomic tmp+rename), and an incoming manifest is reduced to its
+    UNCOVERED remainder before anything is sent. Requires manifests that
+    assert only offsets actually present (streaming.stream.observed_manifests
+    emits exact dense runs for this reason)."""
 
-    Exactly-once holds across RE-BATCHED redelivery, not just identical
-    redelivery: a ``_published_spans.json`` ledger records every committed
-    (partition, lo, hi) span; an incoming manifest is reduced to its
-    UNCOVERED remainder (interval subtraction), rows are filtered to those
-    spans via (last_partition_id, last_offset), and the ledger is advanced
-    atomically (tmp + rename) only after the files land. A restart with a
-    fresh checkpoint and a different ``max_files_per_trigger`` therefore
-    re-publishes nothing that already reached the directory, regardless of
-    how the offsets were re-chunked.
-    """
+    FILENAME = "_published_spans.json"
 
-    LEDGER = "_published_spans.json"
-
-    def __init__(self, path: str, chunk_records: int = 900):
-        import os
-
+    def __init__(self, path: str):
         self.path = path
-        self.chunk_records = chunk_records
-        os.makedirs(path, exist_ok=True)
 
-    @staticmethod
-    def _batch_dir(manifest_entries) -> str:
-        return "batch_" + "_".join(
-            f"p{p}-{s}-{e}" for p, s, e in sorted(tuple(m) for m in manifest_entries)
-        )
-
-    # ---------------------------------------------------------- span ledger
-    def _ledger_path(self) -> str:
-        import os
-
-        return os.path.join(self.path, self.LEDGER)
-
-    def _read_ledger(self) -> list[tuple[int, int, int]]:
+    def read(self) -> list[tuple[int, int, int]]:
         import json
         import os
 
-        p = self._ledger_path()
-        if not os.path.exists(p):
+        if not os.path.exists(self.path):
             return []
-        with open(p) as f:
+        with open(self.path) as f:
             return [tuple(x) for x in json.load(f)]
 
-    def _write_ledger(self, spans: list[tuple[int, int, int]]) -> None:
+    def advance(self, new_spans: list[tuple[int, int, int]]) -> None:
         import json
         import os
 
-        tmp = self._ledger_path() + ".tmp"
+        merged = self.merge_spans(self.read() + list(new_spans))
+        tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(sorted([list(s) for s in spans]), f)
-        os.replace(tmp, self._ledger_path())  # atomic on POSIX
+            json.dump(sorted([list(s) for s in merged]), f)
+        os.replace(tmp, self.path)  # atomic on POSIX
 
     @staticmethod
-    def _subtract_covered(
+    def subtract_covered(
         entries, covered: list[tuple[int, int, int]]
     ) -> list[tuple[int, int, int]]:
         """Incoming (p, lo, hi) entries minus already-published intervals."""
@@ -199,7 +173,7 @@ class JsonlChunkSink:
         return sorted(out)
 
     @staticmethod
-    def _merge_spans(spans: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    def merge_spans(spans: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
         merged: list[tuple[int, int, int]] = []
         for p, lo, hi in sorted(spans):
             if merged and merged[-1][0] == p and lo <= merged[-1][2] + 1:
@@ -209,24 +183,64 @@ class JsonlChunkSink:
                 merged.append((p, lo, hi))
         return merged
 
+
+def filter_to_spans(
+    updates: DataFrame, manifest_entries, todo, covered
+) -> DataFrame:
+    """Restrict rows to the uncovered spans via (last_partition_id,
+    last_offset); a no-op predicate is skipped when nothing was covered."""
+    if len(todo) == len(list(manifest_entries)) and not covered:
+        return updates
+    cond = None
+    for p, lo, hi in todo:
+        c = (F.col("last_partition_id") == p) & F.col("last_offset").between(lo, hi)
+        cond = c if cond is None else (cond | c)
+    return updates.where(cond)
+
+
+class JsonlChunkSink:
+    """File-stream sink: chunked JSONL per batch, idempotent by OFFSET SPAN.
+
+    The Kafka-less stand-in proving the sink abstraction: each batch writes
+    to a directory DETERMINISTICALLY NAMED by its manifest entries (the
+    reference's `{name}_{i}.jsonl`-per-offset-range naming, gcs.rs:99-115).
+    ``chunk_records`` mirrors the Pub/Sub 900-message chunking
+    (google_pubsub.rs:122) via maxRecordsPerFile.
+
+    Exactly-once holds across RE-BATCHED redelivery, not just identical
+    redelivery: a ``_published_spans.json`` ledger records every committed
+    (partition, lo, hi) span; an incoming manifest is reduced to its
+    UNCOVERED remainder (interval subtraction), rows are filtered to those
+    spans via (last_partition_id, last_offset), and the ledger is advanced
+    atomically (tmp + rename) only after the files land. A restart with a
+    fresh checkpoint and a different ``max_files_per_trigger`` therefore
+    re-publishes nothing that already reached the directory, regardless of
+    how the offsets were re-chunked.
+    """
+
+    def __init__(self, path: str, chunk_records: int = 900):
+        import os
+
+        self.path = path
+        self.chunk_records = chunk_records
+        os.makedirs(path, exist_ok=True)
+        self.ledger = SpanLedger(os.path.join(path, SpanLedger.FILENAME))
+
+    @staticmethod
+    def _batch_dir(manifest_entries) -> str:
+        return "batch_" + "_".join(
+            f"p{p}-{s}-{e}" for p, s, e in sorted(tuple(m) for m in manifest_entries)
+        )
+
     def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:
         import os
 
-        covered = self._read_ledger()
-        todo = self._subtract_covered(manifest_entries, covered)
+        covered = self.ledger.read()
+        todo = SpanLedger.subtract_covered(manifest_entries, covered)
         if not todo:
             return {"status": "skipped", "path": None}
         out = os.path.join(self.path, self._batch_dir(todo))
-        # filter rows to the uncovered spans (no-op when nothing was covered)
-        if len(todo) != len(list(manifest_entries)) or covered:
-            cond = None
-            for p, lo, hi in todo:
-                c = (
-                    (F.col("last_partition_id") == p)
-                    & F.col("last_offset").between(lo, hi)
-                )
-                cond = c if cond is None else (cond | c)
-            updates = updates.where(cond)
+        updates = filter_to_spans(updates, manifest_entries, todo, covered)
         (
             updates.write.option("maxRecordsPerFile", str(self.chunk_records))
             .mode("overwrite")
@@ -235,5 +249,110 @@ class JsonlChunkSink:
         # advance the ledger only after the files are fully on disk; a crash
         # in between makes the next delivery rewrite the SAME dir (same
         # uncovered spans -> same name, overwrite mode), still exactly-once
-        self._write_ledger(self._merge_spans(covered + todo))
+        self.ledger.advance(todo)
         return {"status": "committed", "path": out}
+
+
+class HttpPostSink:
+    """HTTP transport sink: chunked JSON bodies POSTed from the EXECUTORS.
+
+    The in-sandbox analog of the reference's broker publishers (Kafka /
+    RabbitMQ behind the same trait, src/output/apache_kafka.rs:1-115,
+    rabbitmq_classic.rs, rabbitmq_stream.rs, selected in
+    src/output/publish.rs:14-26): rows leave through a network transport
+    with the publisher's at-least-once + receiver-dedupe contract, no broker
+    required.
+
+    Delivery contract (same shape as the reference's producer):
+
+    - **Distributed send** — rows serialize to JSON on the executors and
+      POST per ``chunk_records``-sized body via ``mapPartitions``; only tiny
+      per-chunk receipts return to the driver. No driver-side row loop.
+    - **At-least-once** — each chunk retries with exponential backoff
+      (``max_retries``); exhaustion raises, failing the Spark task/job so
+      the ledger never advances past an unsent chunk.
+    - **Receiver dedupe** — every POST carries an ``Idempotency-Key`` header
+      (sha256 of the body), so broker-style receivers can drop duplicate
+      deliveries from crash-window resends of identical chunks.
+    - **Exactly-once across re-batching** — the same :class:`SpanLedger` as
+      the file sink: a redelivered manifest is reduced to its uncovered
+      spans before anything is sent, whatever the re-chunking.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        ledger_path: str,
+        *,
+        chunk_records: int = 900,
+        max_retries: int = 4,
+        timeout_sec: float = 10.0,
+    ):
+        self.endpoint = endpoint
+        self.chunk_records = chunk_records
+        self.max_retries = max_retries
+        self.timeout_sec = timeout_sec
+        self.ledger = SpanLedger(ledger_path)
+
+    def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:
+        covered = self.ledger.read()
+        todo = SpanLedger.subtract_covered(manifest_entries, covered)
+        if not todo:
+            return {"status": "skipped", "chunks": 0, "records": 0}
+        updates = filter_to_spans(updates, manifest_entries, todo, covered)
+
+        endpoint, chunk_records = self.endpoint, self.chunk_records
+        max_retries, timeout_sec = self.max_retries, self.timeout_sec
+
+        def post_chunks(lines):
+            # runs on the executor: batch JSON lines into bodies and POST
+            import hashlib
+            import time as _time
+            import urllib.error
+            import urllib.request
+
+            def send(body: bytes):
+                key = hashlib.sha256(body).hexdigest()
+                last = None
+                for attempt in range(max_retries + 1):
+                    try:
+                        req = urllib.request.Request(
+                            endpoint,
+                            data=body,
+                            headers={
+                                "Content-Type": "application/x-ndjson",
+                                "Idempotency-Key": key,
+                            },
+                            method="POST",
+                        )
+                        with urllib.request.urlopen(req, timeout=timeout_sec) as r:
+                            if 200 <= r.status < 300:
+                                return
+                            last = RuntimeError(f"HTTP {r.status}")
+                    except (urllib.error.URLError, OSError) as e:  # incl. HTTPError
+                        last = e
+                    _time.sleep(min(0.05 * (2 ** attempt), 2.0))
+                raise RuntimeError(f"POST to {endpoint} failed after retries: {last}")
+
+            buf, n_chunks, n_records = [], 0, 0
+            for line in lines:
+                buf.append(line)
+                if len(buf) >= chunk_records:
+                    send(("\n".join(buf) + "\n").encode())
+                    n_chunks += 1
+                    n_records += len(buf)
+                    buf = []
+            if buf:
+                send(("\n".join(buf) + "\n").encode())
+                n_chunks += 1
+                n_records += len(buf)
+            yield (n_chunks, n_records)
+
+        receipts = updates.toJSON().mapPartitions(post_chunks).collect()
+        n_chunks = sum(r[0] for r in receipts)
+        n_records = sum(r[1] for r in receipts)
+        # only after every chunk is acknowledged does the ledger advance; a
+        # crash between send and advance re-sends identical bodies, which
+        # the receiver drops by Idempotency-Key
+        self.ledger.advance(todo)
+        return {"status": "committed", "chunks": n_chunks, "records": n_records}
