@@ -178,6 +178,15 @@ def best_replay(cores: int, attempts: int) -> dict:
     return best
 
 
+def best_fanout(cores: int, attempts: int) -> dict:
+    """Best-of-N for the fan-out leg too — same ±50% host-noise treatment
+    as the peak leg, so the 3-table number of record is stable."""
+    runs = [run_fanout(cores) for _ in range(attempts)]
+    best = max(runs, key=lambda r: r["events_per_sec"])
+    best["attempts"] = [r["events_per_sec"] for r in runs]
+    return best
+
+
 def main() -> None:
     from sonic_etl_spark.driver_queries import QUERIES
     from sonic_etl_spark.session import get_spark
@@ -208,7 +217,7 @@ def main() -> None:
     replay_peak = best_replay(peak, attempts)
     result: dict = {"events": N_EVENTS, "peak_cores": peak, "peak": replay_peak}
     if os.environ.get("SPARK_GRAFT_BENCH_FANOUT", "1") != "0":
-        result["fanout"] = run_fanout(peak)
+        result["fanout"] = best_fanout(peak, attempts)
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         r_high = best_replay(high, attempts)
         # the low-parallelism run is long and low-variance; one attempt
@@ -220,18 +229,22 @@ def main() -> None:
             (r_high["events_per_sec"] / r_low["events_per_sec"]) / 4.0, 3
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"cdc_replay_{N_EVENTS}_events_wall_sec_local{peak}",
-                "value": replay_peak["wall_sec"],
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "replay": result,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"cdc_replay_{N_EVENTS}_events_wall_sec_local{peak}",
+            "value": replay_peak["wall_sec"],
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "replay": result,
+        }
     )
+    print(line)
+    # auditable evidence trail: tee the artifact behind BENCH.md's headline
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ from sonic_etl_spark.operators import dedup as dedup_ops
 from sonic_etl_spark.operators import merge as merge_ops
 from sonic_etl_spark.operators import multimodal as mm_ops
 from sonic_etl_spark.operators import similarity as sim_ops
+from sonic_etl_spark.operators import sketch as sketch_ops
 from sonic_etl_spark.operators import text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -406,6 +407,24 @@ SELECT user_id, count(*) AS n_events,
        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
 FROM events GROUP BY 1
 """
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A6 scale extension: deterministic KMV distinct-count sketch
+    (operators/sketch.py) — distinct event_ids per event_type with k=64,
+    forcing the estimator branch (each group ≫ k). The sketch is portable
+    by construction (md5 60-bit hashes + (k-1)/h_k), so the oracle runs the
+    SAME estimator in DuckDB and the VALUES must match, not just the shape.
+    Production variant is approx_distinct (native HLL++, pytest-bounded)."""
+    return sketch_ops.kmv_distinct(
+        _t(spark, sf_dir, "events"), ["event_id"], k=64,
+        group_cols=["event_type"],
+    )
+
+
+SQL_DISTINCT_SKETCH = sketch_ops.kmv_distinct_sql(
+    "events", ["event_id"], k=64, group_cols=["event_type"]
+)
 
 
 def q_struct_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1228,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
     "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup
+    "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),
     "minhash_lsh_buckets": (q_minhash_buckets, _minhash_sql()),
