@@ -40,6 +40,7 @@ from sonic_etl_spark.sources.table import (
     LATEST,
     SNAP_DIR,
     CommitConflict,
+    _expire_snapshots_impl,
     _lww_reduce,
     read_buckets_projected,
 )
@@ -79,6 +80,43 @@ class TransactionalTableSet:
             sid = json.load(f)["snapshot_id"]
         with open(os.path.join(self.path, SNAP_DIR, f"snap-{sid}.json")) as f:
             return json.load(f)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(
+            os.path.join(self.path, SNAP_DIR, f"snap-{snapshot_id}.json")
+        ) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first; stops at the expiry horizon."""
+        out = []
+        snap = self.latest()
+        while snap is not None:
+            out.append(snap)
+            pid = snap.get("parent_id")
+            try:
+                snap = self.snapshot(pid) if pid is not None else None
+            except FileNotFoundError:
+                snap = None
+        return list(reversed(out))
+
+    def expire_snapshots(
+        self, keep_last: int = 1, min_age_sec: float = 0.0
+    ) -> dict:
+        """Retention maintenance for the whole set — one call covers every
+        table because they share the snapshot log (see
+        TransactionalParquetTable.expire_snapshots for the contract)."""
+
+        def roots_of(snap):
+            for tbl in snap["tables"].values():
+                for ent in tbl["buckets"].values():
+                    for f in ent["files"]:
+                        # "data/snap-N/<table>/_pb=B" -> "snap-N"
+                        yield f["path"].split(os.sep)[1]
+
+        return _expire_snapshots_impl(
+            self.path, self.history(), roots_of, keep_last, min_age_sec
+        )
 
     def _commit_snapshot(self, snap: dict, expected_parent: int | None) -> None:
         cur = self.latest()

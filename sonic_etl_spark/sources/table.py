@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -82,6 +83,68 @@ def _lww_reduce(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
         )
         .select(*key_cols, "_r.*")
     )
+
+
+def _single_table_roots(snap: dict):
+    """Data roots ("snap-N") referenced by a single-table snapshot."""
+    for ent in snap["buckets"].values():
+        for f in ent["files"]:
+            yield f["path"].split(os.sep)[1]  # "data/snap-N/_pb=B" -> snap-N
+
+
+def _expire_snapshots_impl(
+    path: str, hist: list[dict], roots_of, keep_last: int, min_age_sec: float
+) -> dict:
+    """Shared retention core for table / table-set (see
+    ``TransactionalParquetTable.expire_snapshots`` for the contract)."""
+    if not hist:
+        raise FileNotFoundError(f"table {path} does not exist")
+    latest_id = hist[-1]["snapshot_id"]
+    keep_last = max(keep_last, 1)
+    now = time.time()
+    kept = [
+        s
+        for i, s in enumerate(hist)
+        if i >= len(hist) - keep_last
+        or now - s.get("committed_at", 0.0) < min_age_sec
+    ]
+    kept_ids = {s["snapshot_id"] for s in kept}
+    expired = [s for s in hist if s["snapshot_id"] not in kept_ids]
+
+    live_roots = set()
+    for s in kept:
+        live_roots.update(roots_of(s))
+
+    data_dir = os.path.join(path, DATA_DIR)
+    removed_roots, bytes_reclaimed = [], 0
+    for root in sorted(os.listdir(data_dir)):
+        if not root.startswith("snap-") or root in live_roots:
+            continue
+        try:
+            root_id = int(root.split("-", 1)[1])
+        except ValueError:
+            continue
+        if root_id > latest_id:  # possible in-flight writer
+            continue
+        full = os.path.join(data_dir, root)
+        for dirpath, _dirs, files in os.walk(full):
+            bytes_reclaimed += sum(
+                os.path.getsize(os.path.join(dirpath, fn)) for fn in files
+            )
+        shutil.rmtree(full)
+        removed_roots.append(root)
+
+    for s in expired:
+        sp = os.path.join(path, SNAP_DIR, f"snap-{s['snapshot_id']}.json")
+        if os.path.exists(sp):
+            os.remove(sp)
+
+    return {
+        "snapshots_expired": len(expired),
+        "data_roots_removed": len(removed_roots),
+        "bytes_reclaimed": bytes_reclaimed,
+        "retained": sorted(kept_ids),
+    }
 
 
 class CommitConflict(Exception):
@@ -169,13 +232,20 @@ class TransactionalParquetTable:
             return json.load(f)
 
     def history(self) -> list[dict]:
-        """All snapshots, oldest first — the table's lineage."""
+        """Retained snapshots, oldest first — the table's lineage.
+
+        Stops at the expiry horizon: a parent pruned by
+        :meth:`expire_snapshots` ends the walk (parent_id stays recorded in
+        the oldest retained snapshot as provenance)."""
         out = []
         snap = self.latest()
         while snap is not None:
             out.append(snap)
             pid = snap.get("parent_id")
-            snap = self.snapshot(pid) if pid is not None else None
+            try:
+                snap = self.snapshot(pid) if pid is not None else None
+            except FileNotFoundError:
+                snap = None  # expired beyond the retention horizon
         return list(reversed(out))
 
     def _commit_snapshot(self, snap: dict, expected_parent: int | None) -> None:
@@ -488,6 +558,32 @@ class TransactionalParquetTable:
             "snapshot_id": new_id,
             "buckets_compacted": len(victims),
         }
+
+    # ------------------------------------------------------------- retention
+    def expire_snapshots(
+        self, keep_last: int = 1, min_age_sec: float = 0.0
+    ) -> dict:
+        """Retention maintenance: Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analog. Without it a long replay accumulates
+        every historical snapshot JSON and every superseded delta/compaction
+        file forever — at 10^10 events that is thousands of dead data roots.
+
+        Keeps the ``keep_last`` most recent snapshots (the latest always
+        survives) plus any snapshot younger than ``min_age_sec``; deletes
+        (a) the expired snapshot JSONs and (b) every on-disk data root no
+        retained snapshot references — which also sweeps stale roots from
+        crashed/aborted writers once the snapshot counter has passed their
+        id. Time travel to a retained snapshot keeps working; reading an
+        expired one raises FileNotFoundError.
+
+        Concurrency: an in-flight merge writes ``data/snap-{latest+1}``
+        before committing; only roots with snapshot id ≤ the current latest
+        are eligible for deletion, so active writers are never swept.
+        """
+        return _expire_snapshots_impl(
+            self.path, self.history(), _single_table_roots, keep_last,
+            min_age_sec,
+        )
 
     # ------------------------------------------------------------- evolution
     def evolve(

@@ -239,3 +239,28 @@ def test_retry_quarantine_recovers_dead_letters(spark, tmp_path, log_df):
     # and the range planner still resumes cleanly past the retry marks
     res = replay_fanout(log_df, ts, chunk_size=1000, on_error="quarantine")
     assert res.batches_applied == 0
+
+
+def test_tableset_expire_snapshots(spark, tmp_path, log_df, oracle_hashes):
+    """One retention call covers every table in the set (shared snapshot
+    log): after compaction + expiry the delta roots are reclaimed, all
+    per-table states are byte-identical, and the manifest set still
+    dedupes a full re-replay."""
+    import os
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "f9"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  compact_threshold=None)
+    before = _all_hashes(ts)
+    ts.compact(force=True)
+    n_roots = len(os.listdir(str(tmp_path / "f9" / "data")))
+    res = ts.expire_snapshots(keep_last=1)
+    assert res["snapshots_expired"] > 0
+    assert res["data_roots_removed"] > 0
+    assert len(os.listdir(str(tmp_path / "f9" / "data"))) < n_roots
+    assert _all_hashes(ts) == before
+    assert len(ts.history()) == 1
+    # exactly-once survives expiry: the full log re-replays to zero commits
+    sid = ts.latest()["snapshot_id"]
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    assert ts.latest()["snapshot_id"] == sid

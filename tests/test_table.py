@@ -208,3 +208,59 @@ def test_null_op_rows_survive_read(spark, tmp_path):
     )  # no op column at all -> projected to NULL
     tab.merge(df, [(0, 0, 0)], KEYS, ORDER)
     assert tab.read().count() == 1
+
+
+def test_expire_snapshots_reclaims_and_preserves_state(spark, tmp_path):
+    """Retention maintenance (Iceberg expire_snapshots + remove_orphan_files
+    analog): old snapshot JSONs and unreferenced data roots are deleted,
+    converged state and the exactly-once manifest set are untouched, time
+    travel works inside the horizon and fails loudly beyond it."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    for i in range(4):
+        u = _df(spark, [("r", f"p{i}", f"c{i}" * 20, f"v{i}", "upsert", i, 0)])
+        tab.merge(u, [(0, i * 10, i * 10 + 9)], KEYS, ORDER)
+    tab.compact(force=True)  # supersedes every delta root
+    before = _state(tab)
+    n_roots_before = len(os.listdir(str(tmp_path / "t" / "data")))
+    assert len(tab.history()) == 6  # create + 4 merges + compaction
+
+    # age guard first: nothing is old enough -> nothing happens
+    res = tab.expire_snapshots(keep_last=1, min_age_sec=3600)
+    assert res["snapshots_expired"] == 0
+    assert len(tab.history()) == 6
+
+    # keep_last=2 retains the pre-compaction snapshot, which still
+    # references every delta root -> snapshots go, data stays (safety)
+    res = tab.expire_snapshots(keep_last=2)
+    assert res["snapshots_expired"] == 4
+    assert res["data_roots_removed"] == 0
+    assert _state(tab) == before
+
+    # keep_last=1 retains only the compacted snapshot -> deltas reclaimed
+    res = tab.expire_snapshots(keep_last=1)
+    assert res["snapshots_expired"] == 1
+    assert res["data_roots_removed"] > 0
+    assert res["bytes_reclaimed"] > 0
+    assert len(os.listdir(str(tmp_path / "t" / "data"))) < n_roots_before
+
+    # state, manifests, and history-walk survive
+    assert _state(tab) == before
+    assert len(tab.history()) == 1
+    assert tab.is_committed(0, 0, 9)  # manifest set preserved in retained snap
+    re = tab.merge(
+        _df(spark, [("r", "p0", "cX" * 20, "dup", "upsert", 0, 0)]),
+        [(0, 0, 9)], KEYS, ORDER,
+    )
+    assert re["status"] == "skipped"  # exactly-once guard intact
+
+    # time travel: retained snapshot readable, expired one raises
+    retained = tab.history()[0]
+    assert tab.read(retained).count() >= 0
+    with pytest.raises(FileNotFoundError):
+        tab.snapshot(2)
+
+    # keep_last floors at 1: the latest always survives
+    res2 = tab.expire_snapshots(keep_last=0)
+    assert tab.latest() is not None
+    assert _state(tab) == before
