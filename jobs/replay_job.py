@@ -55,6 +55,10 @@ def main() -> None:
                          "quarantine under one shared manifest commit")
     ap.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
                     help="(--fanout only) poison-row policy")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="after replay, expire snapshots keeping the N most "
+                         "recent (retention maintenance; delta roots already "
+                         "superseded by compaction are reclaimed)")
     args = ap.parse_args()
 
     from sonic_etl_spark.session import get_spark
@@ -95,18 +99,18 @@ def main() -> None:
             stop_requested=stop,
         )
         snapshot = table.latest()["snapshot_id"]
-    print(
-        json.dumps(
-            {
-                "batches_applied": res.batches_applied,
-                "batches_skipped": res.batches_skipped,
-                "rows_seen": res.rows_seen,
-                "elapsed_sec": res.elapsed_sec,
-                "events_per_sec": res.events_per_sec,
-                "snapshot": snapshot,
-            }
-        )
-    )
+    out = {
+        "batches_applied": res.batches_applied,
+        "batches_skipped": res.batches_skipped,
+        "rows_seen": res.rows_seen,
+        "elapsed_sec": res.elapsed_sec,
+        "events_per_sec": res.events_per_sec,
+        "snapshot": snapshot,
+    }
+    if args.expire_keep is not None:
+        target = tables if args.fanout else table
+        out["retention"] = target.expire_snapshots(keep_last=args.expire_keep)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
