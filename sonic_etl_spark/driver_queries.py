@@ -910,6 +910,31 @@ def _ann_buckets_sql() -> str:
     return f"SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings"
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters (the dedup last mile): connected components over the
+    LSH near-dup pairs via hash-min label propagation
+    (operators/dedup.duplicate_clusters); cluster_id = smallest member.
+    The oracle recomputes components independently with a recursive CTE
+    (min label reachable from each node)."""
+    pairs = sim_ops.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+    return dedup_ops.duplicate_clusters(pairs)
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ({_near_dup_sql()}) _nd),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id AS member_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def _ann_topk_lsh_sql(n_probes: int = 4, k: int = 5) -> str:
     """DuckDB mirror of ``sim_ops.ann_topk_lsh`` — expressible because every
     ingredient is deterministic: md5-derived ±1 hyperplanes (module
@@ -1239,6 +1264,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
+    "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

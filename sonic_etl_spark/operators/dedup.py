@@ -233,3 +233,92 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else (sim + bit)
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a_col: str = "vec_a", b_col: str = "vec_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate PAIRS → duplicate CLUSTERS: connected components with
+    cluster_id = the smallest member id (deterministic canonical label).
+
+    The last mile of content dedup: pair finders (near_dup_pairs,
+    ngram_jaccard, minhash buckets) emit edges; keeping one doc per
+    connected component — not per pair — is what actually dedupes A~B~C
+    chains. Hash-min label propagation, the standard Spark CC recipe: every
+    iteration each node adopts min(own label, neighbours' labels); converges
+    in O(component diameter) rounds (near-dup clusters are small and dense,
+    so typically 2-4). Per round: one equi-join + one groupBy-min, both
+    shuffles on uniform node ids; the convergence check doubles as the
+    materialization barrier (each round's labels are cached and the previous
+    round unpersisted, so lineage stays O(1) across iterations, not
+    O(iterations)).
+
+    Output: (member_id, cluster_id) for every node that appears in a pair.
+    Singletons never enter the edge list — see :func:`dedup_keep_canonical`
+    for whole-corpus assignment.
+    """
+    half = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbour = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.union(neighbour)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a_col: str = "vec_a", b_col: str = "vec_b",
+) -> DataFrame:
+    """Whole-corpus dedup: keep exactly one representative per duplicate
+    cluster (the smallest id), pass singletons through untouched.
+
+    One broadcast-friendly left join of the corpus against the (small —
+    only docs that appear in a pair) cluster map; a doc survives iff its id
+    IS its cluster id (or it has no cluster). The dropped set is exactly
+    "non-canonical members of some cluster"."""
+    clusters = duplicate_clusters(pairs, a_col, b_col)
+    joined = df.join(
+        F.broadcast(clusters),
+        df[id_col] == clusters["member_id"],
+        "left",
+    )
+    keep = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col(id_col).cast("long")
+    )
+    return joined.where(keep).drop("member_id", "cluster_id")

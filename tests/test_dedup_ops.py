@@ -90,3 +90,39 @@ def test_jaccard_df_cap_keeps_true_near_dups(spark):
     out = dedup_ops.ngram_jaccard_pairs(_docs(spark, rows), max_doc_freq=10)
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+
+
+def test_duplicate_clusters_components_and_chains(spark):
+    """Pairs -> connected components: A~B~C chains collapse to one cluster
+    labeled by the smallest member; disjoint components stay separate; a
+    long chain (diameter 5) still converges."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3} (chain), component {10,11}, chain 20..25
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+         (24, 25)],
+        "vec_a bigint, vec_b bigint",
+    )
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in dedup_ops.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20,
+    }
+
+
+def test_dedup_keep_canonical_drops_non_representatives(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(6)])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5)], "vec_a bigint, vec_b bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_ops.dedup_keep_canonical(
+            docs, pairs, id_col="doc_id"
+        ).collect()
+    )
+    # cluster {0,3,5} keeps 0; singletons 1,2,4 pass through
+    assert kept == [0, 1, 2, 4]
