@@ -203,6 +203,57 @@ class TransactionalTableSet:
             df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
 
+    def read_changes(
+        self,
+        name: str,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        reduced: bool = False,
+    ) -> DataFrame:
+        """Incremental scan of ONE table in the set — same contract as
+        ``TransactionalParquetTable.read_changes`` (O(new data) for the
+        consumer; raises across a compaction/expiry boundary). A fan-out
+        consumer tails e.g. ``file_versions`` this way without rereading
+        the table."""
+        to_snap = (
+            self.latest()
+            if to_snapshot_id is None
+            else self.snapshot(to_snapshot_id)
+        )
+        if to_snap is None or name not in to_snap["tables"]:
+            raise FileNotFoundError(f"table {name} not in set {self.path}")
+        to_tbl = to_snap["tables"][name]
+
+        def fset(tbl):
+            return {
+                f["path"]
+                for ent in tbl["buckets"].values()
+                for f in ent["files"]
+            }
+
+        from_files: set[str] = set()
+        if from_snapshot_id is not None:
+            from_files = fset(self.snapshot(from_snapshot_id)["tables"][name])
+        rewritten = from_files - fset(to_tbl)
+        if rewritten:
+            raise ValueError(
+                f"incremental read of {name!r} crosses a compaction/expiry "
+                f"boundary ({len(rewritten)} base files rewritten); re-sync "
+                "with a full read()"
+            )
+        new_buckets = {}
+        for b, ent in to_tbl["buckets"].items():
+            nf = [f for f in ent["files"] if f["path"] not in from_files]
+            if nf:
+                new_buckets[b] = {"files": nf}
+        tbl = {**to_tbl, "buckets": new_buckets}
+        df = read_buckets_projected(
+            self.spark, self.path, tbl, list(new_buckets)
+        )
+        if reduced:
+            df = _lww_reduce(df, to_tbl["key_cols"], to_tbl["order_cols"])
+        return df
+
     # ----------------------------------------------------------------- merge
     def _write_table_files(
         self, snap: dict, new_id: int, name: str, df: DataFrame

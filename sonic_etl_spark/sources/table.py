@@ -334,6 +334,68 @@ class TransactionalParquetTable:
         """Raw (pre-LWW) rows of the given buckets under the current schema."""
         return read_buckets_projected(self.spark, self.path, snap, bucket_ids)
 
+    @staticmethod
+    def _file_set(snap: dict) -> dict[str, int]:
+        return {
+            f["path"]: f["schema_id"]
+            for ent in snap["buckets"].values()
+            for f in ent["files"]
+        }
+
+    def read_changes(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        reduced: bool = False,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg incremental-append-read analog): the
+        rows APPENDED between two snapshots — the converged table's own
+        CDC-out stream for downstream consumers.
+
+        Diffing is by data-file identity, so an incremental consumer's cost
+        is O(new data), never O(table). ``from_snapshot_id=None`` reads
+        since creation; ``reduced=True`` LWW-reduces the changes to one row
+        per key (the latest state among the changed rows — what a
+        downstream MERGE wants).
+
+        Compaction/expiry rewrite files without changing state, so an
+        incremental read across such a boundary would replay old rows as
+        changes; that case is DETECTED (files present at ``from`` missing
+        at ``to``) and raises — the consumer re-syncs with a full
+        :meth:`read` (the same restriction Iceberg places on its
+        incremental append scan).
+        """
+        to_snap = (
+            self.latest()
+            if to_snapshot_id is None
+            else self.snapshot(to_snapshot_id)
+        )
+        if to_snap is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        from_files: dict[str, int] = {}
+        if from_snapshot_id is not None:
+            from_files = self._file_set(self.snapshot(from_snapshot_id))
+        to_files = self._file_set(to_snap)
+        rewritten = set(from_files) - set(to_files)
+        if rewritten:
+            raise ValueError(
+                f"incremental read crosses a compaction/expiry boundary "
+                f"({len(rewritten)} base files rewritten between snapshots); "
+                "re-sync with a full read()"
+            )
+        new_buckets = {}
+        for b, ent in to_snap["buckets"].items():
+            nf = [f for f in ent["files"] if f["path"] not in from_files]
+            if nf:
+                new_buckets[b] = {"files": nf}
+        tbl = {**to_snap, "buckets": new_buckets}
+        df = read_buckets_projected(
+            self.spark, self.path, tbl, list(new_buckets)
+        )
+        if reduced:
+            df = _lww_reduce(df, to_snap["key_cols"], to_snap["order_cols"])
+        return df
+
     # ------------------------------------------------------------- manifests
     def committed_ranges(self) -> set[tuple[int, int, int]]:
         snap = self.latest()

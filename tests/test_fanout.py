@@ -264,3 +264,19 @@ def test_tableset_expire_snapshots(spark, tmp_path, log_df, oracle_hashes):
     sid = ts.latest()["snapshot_id"]
     replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
     assert ts.latest()["snapshot_id"] == sid
+
+
+def test_tableset_read_changes_incremental(spark, tmp_path, log_df):
+    """Per-table incremental scan over the shared snapshot log: a consumer
+    anchored mid-replay sees only the rows committed after its anchor."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f10"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=100, max_batches=2,
+                  on_error="quarantine", compact_threshold=None)
+    anchor = ts.latest()["snapshot_id"]
+    base = ts.read_changes("file_versions").count()
+    replay_fanout(log_df, ts, chunk_size=100, on_error="quarantine",
+                  compact_threshold=None)
+    inc = ts.read_changes("file_versions", from_snapshot_id=anchor)
+    full = ts.read_changes("file_versions")
+    assert inc.count() == full.count() - base
+    assert inc.count() > 0

@@ -264,3 +264,46 @@ def test_expire_snapshots_reclaims_and_preserves_state(spark, tmp_path):
     res2 = tab.expire_snapshots(keep_last=0)
     assert tab.latest() is not None
     assert _state(tab) == before
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Incremental reads return exactly the rows appended after the anchor
+    snapshot (O(new data) for consumers), LWW-reduce on request, and refuse
+    to silently replay history across a compaction boundary."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]),
+              [(0, 0, 9)], KEYS, ORDER)
+    anchor = tab.latest()["snapshot_id"]
+    tab.merge(_df(spark, [("r", "a", "c2" * 20, "v2", "upsert", 2, 0),
+                          ("r", "b", "c3" * 20, "w1", "upsert", 3, 0)]),
+              [(0, 10, 19)], KEYS, ORDER)
+    tab.merge(_df(spark, [("r", "a", "c4" * 20, "v3", "upsert", 4, 0)]),
+              [(0, 20, 29)], KEYS, ORDER)
+
+    # raw changes since anchor: the 3 appended rows, not the base row
+    raw = tab.read_changes(from_snapshot_id=anchor)
+    assert raw.count() == 3
+    assert {r["path"] for r in raw.collect()} == {"a", "b"}
+
+    # reduced: latest state per key among the changes only
+    red = {r["path"]: r["content"]
+           for r in tab.read_changes(from_snapshot_id=anchor, reduced=True).collect()}
+    assert red == {"a": "v3", "b": "w1"}
+
+    # since creation == full raw history (4 rows)
+    assert tab.read_changes().count() == 4
+
+    # bounded window (anchor -> next snapshot) sees only batch 2
+    mid = anchor + 1
+    assert tab.read_changes(from_snapshot_id=anchor, to_snapshot_id=mid).count() == 2
+
+    # compaction boundary: refuse rather than replay history as changes
+    tab.compact(force=True)
+    with pytest.raises(ValueError, match="compaction"):
+        tab.read_changes(from_snapshot_id=anchor)
+    # re-anchored consumer works again
+    new_anchor = tab.latest()["snapshot_id"]
+    tab.merge(_df(spark, [("r", "c", "c5" * 20, "x1", "upsert", 5, 0)]),
+              [(0, 30, 39)], KEYS, ORDER)
+    assert tab.read_changes(from_snapshot_id=new_anchor).count() == 1
