@@ -151,7 +151,11 @@ class SpanLedger:
     def subtract_covered(
         entries, covered: list[tuple[int, int, int]]
     ) -> list[tuple[int, int, int]]:
-        """Incoming (p, lo, hi) entries minus already-published intervals."""
+        """Incoming (p, lo, hi) entries minus already-published intervals.
+
+        Output is NORMALIZED (sorted, disjoint, adjacent runs merged) even
+        if the incoming entries overlap or repeat — so batch-dir names and
+        row filters built from it never double-claim an offset."""
         by_part: dict[int, list[tuple[int, int]]] = {}
         for p, lo, hi in covered:
             by_part.setdefault(p, []).append((lo, hi))
@@ -170,7 +174,7 @@ class SpanLedger:
                         nxt.append((chi + 1, phi))
                 pieces = nxt
             out.extend((p, s, e) for s, e in pieces)
-        return sorted(out)
+        return SpanLedger.merge_spans(out)
 
     @staticmethod
     def merge_spans(spans: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
