@@ -521,7 +521,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(source: str = "documents") -> str:
     langs = sorted(text_ops.LANG_MARKERS)
     score_exprs = []
     for lang in langs:
@@ -538,7 +538,7 @@ def _lang_id_sql() -> str:
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
     return f"""
-WITH t AS (SELECT doc_id, {WORDS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {WORDS_SQL} AS toks FROM {source}),
 s AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
 SELECT doc_id,
        CASE WHEN greatest({all_scores}) = 0 THEN 'unknown'
@@ -869,7 +869,9 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
-def _near_dup_sql() -> str:
+def _near_dup_sql(restrict_to: str | None = None) -> str:
+    """``restrict_to``: optional CTE/table name whose doc_id column limits
+    which embeddings participate (the curation pipeline's survivor set)."""
     terms = []
     for p, row in enumerate(sim_ops.PLANES):
         arr = "[" + ",".join(f"{float(x):.1f}" for x in row) + "]"
@@ -878,9 +880,14 @@ def _near_dup_sql() -> str:
             f"THEN {1 << p} ELSE 0 END)"
         )
     bucket = " + ".join(terms)
+    where = (
+        f"WHERE vec_id IN (SELECT doc_id FROM {restrict_to})"
+        if restrict_to
+        else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, {NORM_SQL} AS nv, CAST({bucket} AS INTEGER) AS bucket
-           FROM embeddings)
+           FROM embeddings {where})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -908,6 +915,54 @@ def _lsh_bucket_sql() -> str:
 
 def _ann_buckets_sql() -> str:
     return f"SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings"
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline end-to-end (operators/curation):
+    quality gate → exact dedup (normalized-content fingerprint) → near-dup
+    clusters canonical-keep (LSH over survivors' embeddings) → per-language
+    doc + token totals. The oracle independently replays every stage in one
+    recursive-CTE SQL chain — the composition is value-verified, not just
+    its parts."""
+    from sonic_etl_spark.operators import curation as cur_ops
+
+    return cur_ops.curate_corpus(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _curation_sql(min_words: int = 5, max_punct: float = 0.3) -> str:
+    return f"""
+WITH RECURSIVE surv0 AS (
+  SELECT doc_id, text,
+         {NWORDS_SQL} AS n_words,
+         round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               / greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents),
+surv1 AS (SELECT doc_id, text FROM surv0
+          WHERE n_words >= {min_words} AND punct_ratio <= {max_punct}),
+fp AS (SELECT doc_id,
+              sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+       FROM surv1),
+keep_exact AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+surv2 AS (SELECT s.doc_id, s.text FROM surv1 s JOIN keep_exact k USING (doc_id)),
+pairs AS (SELECT vec_a, vec_b FROM ({_near_dup_sql(restrict_to="surv2")}) _nd),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+dropped AS (SELECT id FROM (SELECT id, min(label) AS lab FROM reach GROUP BY id)
+            WHERE lab <> id),
+final AS (SELECT doc_id, text FROM surv2
+          WHERE doc_id NOT IN (SELECT id FROM dropped)),
+lang AS (SELECT * FROM ({_lang_id_sql(source="final")}) _lg)
+SELECT l.lang_pred, count(*) AS n_docs,
+       CAST(sum({NWORDS_SQL}) AS BIGINT) AS total_tokens
+FROM final JOIN lang l USING (doc_id)
+GROUP BY 1
+"""
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,6 +1320,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
     "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
+    "corpus_curation": (q_corpus_curation, _curation_sql()),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

@@ -1,0 +1,77 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One operator chaining the engine's LLM-pipeline stages the way a real
+pretraining-corpus build does — each stage is an already-verified operator,
+this module only composes them:
+
+1. **quality gate** — drop documents below a word-count floor or above a
+   punctuation ceiling (``operators.text.quality_features``);
+2. **exact dedup** — keep the smallest doc_id per normalized-content
+   fingerprint (``operators.text.fingerprint``; one shuffle on the hash);
+3. **near-dup dedup** — hyperplane-LSH candidate pairs over the survivors'
+   embeddings → connected components → keep the smallest member
+   (``operators.similarity.near_dup_pairs`` +
+   ``operators.dedup.dedup_keep_canonical``);
+4. **corpus stats** — per predicted language (``operators.text.language_id``):
+   surviving doc count and total whitespace tokens.
+
+Scale shape: stages 1-2 are narrow maps plus one hash shuffle; stage 3 is
+the bucketed pair path (never all-pairs) over an already-filtered corpus;
+stage 4 is a narrow map + one small aggregation. Nothing here collects data
+rows to the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sonic_etl_spark.operators import dedup as dedup_ops
+from sonic_etl_spark.operators import similarity as sim_ops
+from sonic_etl_spark.operators import text as text_ops
+
+
+def curate_corpus(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """Curated per-language corpus stats:
+    (lang_pred, n_docs, total_tokens)."""
+    q = text_ops.quality_features(docs)
+    survivors = docs.join(
+        q.select(id_col, "n_words", "punct_ratio"), id_col
+    ).where(
+        (F.col("n_words") >= min_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+
+    fp = text_ops.fingerprint(survivors)
+    keep_exact = fp.groupBy("fp_sha256").agg(F.min(id_col).alias(id_col))
+    survivors = survivors.join(keep_exact.select(id_col), id_col)
+
+    surv_emb = emb.join(
+        survivors.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+    )
+    pairs = sim_ops.near_dup_pairs(surv_emb, threshold=near_dup_threshold)
+    final = dedup_ops.dedup_keep_canonical(survivors, pairs, id_col=id_col)
+
+    lang = text_ops.language_id(final)
+    toks = final.select(
+        id_col, text_ops.word_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    return (
+        final.select(id_col)
+        .join(lang, id_col)
+        .join(toks, id_col)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )

@@ -89,3 +89,41 @@ def test_winnowing_guarantee_and_short_doc(spark):
     }
     assert pairs.get((1, 2), 0) >= 1          # guarantee holds
     assert (1, 3) not in pairs or pairs[(1, 3)] < pairs[(1, 2)]
+
+
+def test_curate_corpus_stages_compose(spark):
+    """Quality gate drops junk, exact dedup keeps one of identical texts,
+    near-dup keeps one per embedding cluster, stats aggregate the rest."""
+    from sonic_etl_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today", "en", "s", 0),
+            (1, "the cat sat on the mat today", "en", "s", 0),   # exact dup of 0
+            (2, "le chat est sur le tapis aujourd'hui", "fr", "s", 0),
+            (3, "!!! ???", "en", "s", 0),                        # punct junk
+            (4, "too short", "en", "s", 0),                      # < min_words
+            (5, "the dog ran in the park all day", "en", "s", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # embeddings: 0 and 5 near-identical -> near-dup pair -> keep 0
+    base = [1.0] + [0.0] * 7
+    emb = spark.createDataFrame(
+        [
+            (0, base), (1, [0.5] * 8), (2, [-1.0] + [0.0] * 7),
+            (3, [0.0] * 7 + [1.0]), (4, [0.3] * 8),
+            (5, [x * 1.001 for x in base]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["lang_pred"]: (r["n_docs"], r["total_tokens"])
+        for r in curate_corpus(
+            docs, emb, min_words=3, near_dup_threshold=0.999
+        ).collect()
+    }
+    # survivors: 0 (keeps over exact-dup 1 and near-dup 5), 2
+    assert sum(n for n, _ in out.values()) == 2
+    assert out["en"][0] == 1 and out["en"][1] == 7
+    assert out["fr"][0] == 1
