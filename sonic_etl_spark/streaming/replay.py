@@ -60,6 +60,7 @@ def replay(
     stop_requested: Callable[[], bool] | None = None,
     crash_after_batches: int | None = None,
     compact_threshold: int | None = 16,
+    expire_keep: int | None = None,
 ) -> ReplayResult:
     """Replay all uncommitted offset ranges of ``change_log`` into ``table``.
 
@@ -69,6 +70,14 @@ def replay(
     ``compact_threshold``: merge-on-read maintenance — after each committed
     batch, buckets whose delta chain exceeds this many files are folded back
     to one (bounds read amplification during long replays). None disables.
+
+    ``expire_keep``: retention maintenance — after each committed batch,
+    keep only the N most recent snapshots (expire_snapshots). A 10^10-event
+    replay is ~10^4 commits; without this the snapshot log and superseded
+    delta roots grow for the whole run. Resumability is unaffected: the
+    LATEST snapshot carries the full committed-manifest set. None disables
+    (keep full history — e.g. when downstream incremental readers are
+    anchored to old snapshots).
     """
     table.create(SOURCE_CODE_FIELDS, KEY_COLS, ORDER_COLS)
     heads = log_heads(change_log)
@@ -112,6 +121,8 @@ def replay(
             res.rows_seen += n_rows
             if compact_threshold is not None:
                 table.compact(max_files_per_bucket=compact_threshold)
+            if expire_keep is not None:
+                table.expire_snapshots(keep_last=expire_keep)
         else:
             res.batches_skipped += 1
     res.elapsed_sec = round(time.time() - t0, 3)

@@ -105,3 +105,26 @@ def test_inline_validation_fails_batch_without_committing(spark, tmp_path):
         replay(poisoned, tab, chunk_size=1000, validate=True)
     assert tab.committed_ranges() == set()
     assert tab.read().count() == 0
+
+
+def test_replay_with_inline_retention_converges_and_resumes(
+    spark, tmp_path, log_df, oracle_hash
+):
+    """expire_keep bounds snapshot-log growth during long replays without
+    touching convergence or crash-resume exactly-once (the latest snapshot
+    carries the full manifest set)."""
+    import os
+
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t7"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay(log_df, tab, chunk_size=200, crash_after_batches=2,
+               expire_keep=2, compact_threshold=4)
+    replay(log_df, tab, chunk_size=200, expire_keep=2, compact_threshold=4)
+    assert _state_hash(tab.read()) == oracle_hash
+    # retention actually bit: the snapshot dir holds ~expire_keep entries,
+    # not one per commit (3 allows the final compaction snapshot)
+    snaps = os.listdir(str(tmp_path / "t7" / "_snapshots"))
+    assert len(snaps) <= 3, snaps
+    # and a fresh re-replay still no-ops
+    res = replay(log_df, tab, chunk_size=200, expire_keep=2)
+    assert res.batches_applied == 0
