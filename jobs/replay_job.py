@@ -3,7 +3,7 @@ source_code table.
 
 Packaging (north rule: "packaged for spark-submit --py-files"):
 
-    cd /root/repo && cd /root/repo && python tools/package.py /tmp/sonic_etl_spark.zip
+    cd /root/repo && python tools/package.py /tmp/sonic_etl_spark.zip
     spark-submit --py-files /tmp/sonic_etl_spark.zip jobs/replay_job.py \
         --log /path/to/change_events_parquet \
         --table /path/to/converged_table \
