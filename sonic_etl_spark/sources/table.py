@@ -66,8 +66,14 @@ DEFAULT_KEY_COLS = ["repo", "path"]
 DEFAULT_ORDER_COLS = ["last_offset", "last_partition_id", "commit"]
 
 
-def _bucket_expr(n_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+def _bucket_expr(
+    n_buckets: int, key_cols: list[str] | None = None
+) -> F.Column:
+    """Bucket id = xxhash64 of the KEY columns mod n_buckets. Parameterized
+    by the snapshot's (possibly renamed) key columns so bucketing survives
+    schema evolution — the writer and point-lookup reader must agree."""
+    cols = [F.col(c) for c in (key_cols or DEFAULT_KEY_COLS)]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
 def _lww_reduce(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -334,6 +340,36 @@ class TransactionalParquetTable:
         """Raw (pre-LWW) rows of the given buckets under the current schema."""
         return read_buckets_projected(self.spark, self.path, snap, bucket_ids)
 
+    def lookup(self, **key) -> DataFrame:
+        """Point read (the serving path): hash the key to its ONE bucket,
+        read only that bucket's base+delta chain — 1/n_buckets of the
+        table, further bounded by compaction — filter to the key and
+        LWW-resolve. A key fetch on a 100 TB table touches one bucket's
+        files, not the table. Pass the key by CURRENT column names:
+        ``lookup(repo="r", path="p")`` (post-rename names after evolve).
+        """
+        snap = self.latest()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        kc = snap["key_cols"]
+        if sorted(key) != sorted(kc):
+            raise KeyError(f"lookup needs exactly the key columns {kc}")
+        n_buckets = snap.get("n_buckets", self.n_buckets)
+        cur = self._current_schema(snap)
+        types = {f["name"]: f["type"] for f in cur["fields"]}
+        ddl = ", ".join(f"`{c}` {types[c]}" for c in kc)
+        one = self.spark.createDataFrame([tuple(key[c] for c in kc)], ddl)
+        bucket = one.select(
+            _bucket_expr(n_buckets, kc).alias("b")
+        ).first()["b"]
+        df = self._read_buckets(snap, [str(bucket)])
+        for c in kc:
+            df = df.where(F.col(c) == key[c])
+        df = _lww_reduce(df, kc, snap["order_cols"])
+        if "op" in df.columns:
+            df = df.filter(~F.col("op").eqNullSafe("delete"))
+        return df
+
     @staticmethod
     def _file_set(snap: dict) -> dict[str, int]:
         return {
@@ -429,20 +465,24 @@ class TransactionalParquetTable:
         return updates.select(*proj)
 
     def _write_bucket_files(
-        self, snap_id: int, df: DataFrame, n_partitions: int, n_buckets: int | None = None
+        self, snap_id: int, df: DataFrame, n_partitions: int,
+        n_buckets: int | None = None, key_cols: list[str] | None = None,
     ) -> tuple[str, list[str]]:
         """Write df (already projected) bucket-partitioned under data/snap-N.
 
         Returns (rel_dir, bucket_ids_written). ``_pb`` is the partition
         directory column only — parquet files contain exactly the schema
-        columns. ``n_buckets`` must be the SNAPSHOT's bucket count (not the
-        constructor's): reopening a table with a different constructor value
+        columns. ``n_buckets``/``key_cols`` must be the SNAPSHOT's values
+        (not the constructor's / defaults): reopening a table with a
+        different constructor value, or writing after a key-column rename,
         must not rehash rows into foreign bucket ids.
         """
         rel = os.path.join(DATA_DIR, f"snap-{snap_id}")
         out_dir = os.path.join(self.path, rel)
         (
-            df.withColumn("_pb", _bucket_expr(n_buckets or self.n_buckets))
+            df.withColumn(
+                "_pb", _bucket_expr(n_buckets or self.n_buckets, key_cols)
+            )
             .repartition(n_partitions, F.col("_pb"))
             .write.partitionBy("_pb")
             .mode("overwrite")
@@ -497,7 +537,8 @@ class TransactionalParquetTable:
         n_buckets = parent.get("n_buckets", self.n_buckets)
         projected = self._project_to_current(parent, updates)
         rel, written = self._write_bucket_files(
-            new_id, projected, n_partitions=max(n_buckets, 1), n_buckets=n_buckets
+            new_id, projected, n_partitions=max(n_buckets, 1),
+            n_buckets=n_buckets, key_cols=parent["key_cols"],
         )
         if pre_commit_check is not None:
             pre_commit_check()  # raising here aborts: files orphan, no commit
@@ -575,7 +616,8 @@ class TransactionalParquetTable:
             parent["order_cols"],
         )
         rel, written = self._write_bucket_files(
-            new_id, state, n_partitions=max(len(victims), 1), n_buckets=n_buckets
+            new_id, state, n_partitions=max(len(victims), 1),
+            n_buckets=n_buckets, key_cols=parent["key_cols"],
         )
         stray = set(written) - set(victims)
         if stray:

@@ -307,3 +307,46 @@ def test_read_changes_incremental_scan(spark, tmp_path):
     tab.merge(_df(spark, [("r", "c", "c5" * 20, "x1", "upsert", 5, 0)]),
               [(0, 30, 39)], KEYS, ORDER)
     assert tab.read_changes(from_snapshot_id=new_anchor).count() == 1
+
+
+def test_lookup_reads_single_bucket(spark, tmp_path):
+    """Point reads touch only the key's bucket (1/n_buckets of the files),
+    respect LWW and tombstones, and survive a key-column rename (bucketing
+    follows the snapshot's key columns, not hardcoded names)."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=8)
+    tab.create(FIELDS)
+    many = _df(
+        spark,
+        [(f"r{i}", f"p{i}", (f"c{i:038d}")[:40], f"v{i}", "upsert", i, 0)
+         for i in range(200)],
+    )
+    tab.merge(many, [(0, 0, 199)], KEYS, ORDER)
+
+    hit = tab.lookup(repo="r7", path="p7")
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v7"
+    total_files = sum(tab.files_per_bucket().values())
+    touched = hit.inputFiles()
+    assert 0 < len(touched) < total_files
+    assert len({f.split("_pb=")[1].split("/")[0] for f in touched}) == 1
+
+    # LWW: newer offset wins in the same bucket
+    tab.merge(_df(spark, [("r7", "p7", "d" * 40, "v7b", "upsert", 999, 0)]),
+              [(0, 200, 200)], KEYS, ORDER)
+    assert tab.lookup(repo="r7", path="p7").first()["content"] == "v7b"
+
+    # tombstone: lookup of a deleted key is empty
+    tab.merge(_df(spark, [("r8", "p8", "e" * 40, None, "delete", 1000, 0)]),
+              [(0, 201, 201)], KEYS, ORDER)
+    assert tab.lookup(repo="r8", path="p8").count() == 0
+
+    # wrong key set is an explicit error
+    with pytest.raises(KeyError, match="key columns"):
+        tab.lookup(repo="r7")
+
+    # rename a key column: writes and lookups keep routing consistently
+    tab.evolve(rename={"path": "file_path"})
+    tab.merge(_df(spark, [("r7", "p7", "f" * 40, "v7c", "upsert", 2000, 0)]),
+              [(0, 202, 202)])
+    assert tab.lookup(repo="r7", file_path="p7").first()["content"] == "v7c"
+    assert tab.read().count() == 199  # 200 - 1 deleted
