@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "ann_lsh_buckets",
     "near_dup_pairs",
+    "distinct_sketch",
 ]
 
 

@@ -203,6 +203,44 @@ class TransactionalTableSet:
             df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
 
+    def lookup(self, name: str, **key) -> DataFrame:
+        """Point read of one table in the set — the serving path: hash the
+        key by the table's BUCKET columns to its single bucket, read only
+        that bucket's files, filter to the full key, LWW-resolve,
+        tombstone-filter. Requires the key to include every bucket column
+        (bucket pruning is impossible otherwise — use read().where)."""
+        snap = self.latest()
+        if snap is None or name not in snap["tables"]:
+            raise FileNotFoundError(f"table {name} not in set {self.path}")
+        tbl = snap["tables"][name]
+        kc = tbl["key_cols"]
+        if sorted(key) != sorted(kc):
+            raise KeyError(f"lookup needs exactly the key columns {kc}")
+        bcols = tbl["bucket_cols"]
+        missing = [c for c in bcols if c not in key]
+        if missing:
+            raise KeyError(f"key lacks bucket columns {missing}")
+        cur = next(
+            s for s in tbl["schemas"]
+            if s["schema_id"] == tbl["current_schema_id"]
+        )
+        types = {f["name"]: f["type"] for f in cur["fields"]}
+        ddl = ", ".join(f"`{c}` {types[c]}" for c in bcols)
+        one = self.spark.createDataFrame([tuple(key[c] for c in bcols)], ddl)
+        bucket = one.select(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in bcols]),
+                F.lit(snap["n_buckets"]),
+            ).cast("int").alias("b")
+        ).first()["b"]
+        df = read_buckets_projected(self.spark, self.path, tbl, [str(bucket)])
+        for c in kc:
+            df = df.where(F.col(c) == key[c])
+        df = _lww_reduce(df, kc, tbl["order_cols"])
+        if "op" in df.columns:
+            df = df.filter(~F.col("op").eqNullSafe("delete"))
+        return df
+
     def read_changes(
         self,
         name: str,

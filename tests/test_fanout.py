@@ -280,3 +280,24 @@ def test_tableset_read_changes_incremental(spark, tmp_path, log_df):
     full = ts.read_changes("file_versions")
     assert inc.count() == full.count() - base
     assert inc.count() > 0
+
+
+def test_tableset_lookup_single_bucket(spark, tmp_path, log_df):
+    """Serving-path point reads on fan-out tables: only the key's bucket is
+    scanned; file_versions (bucketed by a PREFIX of its key) still prunes."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f11"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=1000, on_error="quarantine")
+    row = ts.read("source_code").select("repo", "path").first()
+    hit = ts.lookup("source_code", repo=row["repo"], path=row["path"])
+    assert hit.count() == 1
+    assert len({f.split("_pb=")[1].split("/")[0] for f in hit.inputFiles()}) == 1
+
+    v = ts.read("file_versions").select("repo", "path", "commit").first()
+    vhit = ts.lookup(
+        "file_versions", repo=v["repo"], path=v["path"], commit=v["commit"]
+    )
+    assert vhit.count() == 1
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="key columns"):
+        ts.lookup("source_code", repo=row["repo"])
