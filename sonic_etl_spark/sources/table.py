@@ -340,6 +340,31 @@ class TransactionalParquetTable:
         """Raw (pre-LWW) rows of the given buckets under the current schema."""
         return read_buckets_projected(self.spark, self.path, snap, bucket_ids)
 
+    def metrics_history(self) -> DataFrame:
+        """Per-commit lineage + throughput as a queryable DataFrame (ST2/ST6:
+        the checkpoint carries metrics; this surfaces them). One row per
+        retained snapshot: ids, commit time, batch metrics recorded by the
+        writer (rows, apply_sec, events_per_sec, manifest, compaction...).
+        Driver-side O(retained snapshots) — bounded by expire_snapshots."""
+        rows = [
+            (
+                s["snapshot_id"],
+                s.get("parent_id"),
+                float(s.get("committed_at", 0.0)),
+                json.dumps(s.get("metrics", {}), sort_keys=True),
+                int(s["metrics"].get("rows", 0) or 0),
+                float(s["metrics"].get("apply_sec", 0.0) or 0.0),
+                float(s["metrics"].get("events_per_sec", 0.0) or 0.0),
+            )
+            for s in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_id bigint, committed_at double, "
+            "metrics_json string, rows bigint, apply_sec double, "
+            "events_per_sec double",
+        )
+
     def lookup(self, **key) -> DataFrame:
         """Point read (the serving path): hash the key to its ONE bucket,
         read only that bucket's base+delta chain — 1/n_buckets of the

@@ -350,3 +350,22 @@ def test_lookup_reads_single_bucket(spark, tmp_path):
               [(0, 202, 202)])
     assert tab.lookup(repo="r7", file_path="p7").first()["content"] == "v7c"
     assert tab.read().count() == 199  # 200 - 1 deleted
+
+
+def test_metrics_history_surfaces_lineage(spark, tmp_path):
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    for i in range(3):
+        tab.merge(
+            _df(spark, [("r", f"p{i}", f"c{i}" * 20, "v", "upsert", i, 0)]),
+            [(0, i * 10, i * 10 + 9)], KEYS, ORDER,
+            metrics={"rows": 10},
+        )
+    mh = tab.metrics_history()
+    rows = {r["snapshot_id"]: r for r in mh.collect()}
+    assert len(rows) == 4  # create + 3 merges
+    assert all(rows[i]["parent_id"] == i - 1 for i in (2, 3, 4))
+    assert rows[4]["rows"] == 10 and rows[4]["apply_sec"] > 0
+    assert rows[4]["events_per_sec"] > 0
+    import json as _json
+    assert _json.loads(rows[4]["metrics_json"])["buckets_written"] >= 1
