@@ -21,8 +21,9 @@ def entry(spark: SparkSession) -> DataFrame:
     convergence of the events change feed (the engine's merge-apply shape).
 
     Side effect by design: materializes the synthesized change logs the
-    CDC/fanout oracles read (fixed /tmp parquet paths), so those DuckDB
-    oracles are valid regardless of the driver's per-query ordering."""
+    CDC/fanout oracles read (per-process mkdtemp parquet paths baked into
+    the oracle SQL at import), so those DuckDB oracles are valid
+    regardless of the driver's per-query ordering."""
     from sonic_etl_spark.driver_queries import (
         CDC_LOG_PATH,
         POISON_LOG_PATH,
@@ -42,8 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted only for the genuinely
-    non-SQL-expressible ops (the mapInPandas media codec and the
-    approximate-by-design multi-probe ANN top-k). The CDC replay/fanout
-    queries ARE oracled: they materialize their synthesized log to parquet
-    and the SQL replays it independently."""
+    non-SQL-expressible ops (the two mapInPandas media-codec stages — all
+    38 other queries are value-oracled, including both multi-probe ANN
+    top-k paths, the KMV distinct sketch, connected-component dedup
+    clusters, and the composed corpus-curation pipeline). The CDC
+    replay/fanout queries materialize their synthesized log to parquet and
+    the SQL replays it independently."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
