@@ -369,3 +369,54 @@ def test_metrics_history_surfaces_lineage(spark, tmp_path):
     assert rows[4]["events_per_sec"] > 0
     import json as _json
     assert _json.loads(rows[4]["metrics_json"])["buckets_written"] >= 1
+
+
+def test_random_op_interleaving_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random interleaving of merge / compact /
+    expire_snapshots / evolve must keep the table equal to a plain-dict LWW
+    model — the lifecycle ops are state-transparent in any order."""
+    import random
+
+    rng = random.Random(1234)
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    model: dict[tuple, tuple] = {}  # (repo,path) -> (order_tuple, content, op)
+    offset = 0
+    content_col = "content"
+
+    for step in range(18):
+        op = rng.choice(["merge", "merge", "merge", "compact", "expire", "evolve"])
+        if op == "merge":
+            rows, n = [], rng.randint(1, 4)
+            for _ in range(n):
+                k = (f"r{rng.randint(0, 2)}", f"p{rng.randint(0, 5)}")
+                kind = "delete" if rng.random() < 0.2 else "upsert"
+                commit = f"c{rng.randint(0, 99):02d}" * 10
+                val = None if kind == "delete" else f"v{step}-{offset}"
+                rows.append((k[0], k[1], commit[:40], val, kind, offset, 0))
+                order = (offset, 0, commit[:40])
+                if k not in model or order > model[k][0]:
+                    model[k] = (order, val, kind)
+                offset += 1
+            df = spark.createDataFrame(
+                rows,
+                f"repo string, path string, commit string, {content_col} string,"
+                " op string, last_offset bigint, last_partition_id int",
+            )
+            tab.merge(df, [(0, offset - n, offset - 1)])
+        elif op == "compact":
+            tab.compact(force=rng.random() < 0.5)
+        elif op == "expire":
+            tab.expire_snapshots(keep_last=rng.randint(1, 3))
+        else:
+            new = f"{content_col}_r{step}"
+            tab.evolve(rename={content_col: new})
+            content_col = new
+
+    got = {
+        (r["repo"], r["path"]): r[content_col] for r in tab.read().collect()
+    }
+    want = {
+        k: v for k, (order, v, kind) in model.items() if kind != "delete"
+    }
+    assert got == want
