@@ -270,6 +270,7 @@ def replay_fanout(
     stop_requested: Callable[[], bool] | None = None,
     crash_after_batches: int | None = None,
     compact_threshold: int | None = 16,
+    expire_keep: int | None = None,
 ) -> ReplayResult:
     """Replay all uncommitted ranges into the fan-out table set.
 
@@ -278,6 +279,9 @@ def replay_fanout(
     to the dead-letter table and applies the clean rows — both under the
     SAME atomic commit, so a poison row neither wedges its partition nor
     escapes the manifest's exactly-once accounting.
+
+    ``expire_keep``: inline retention, as in ``replay()`` — one call per
+    committed batch covers every table of the set (shared snapshot log).
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
@@ -335,6 +339,8 @@ def replay_fanout(
             res.rows_seen += n_rows
             if compact_threshold is not None:
                 tables.compact(max_files_per_bucket=compact_threshold)
+            if expire_keep is not None:
+                tables.expire_snapshots(keep_last=expire_keep)
         else:
             res.batches_skipped += 1
     res.elapsed_sec = round(time.time() - t0, 3)

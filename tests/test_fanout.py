@@ -301,3 +301,19 @@ def test_tableset_lookup_single_bucket(spark, tmp_path, log_df):
     import pytest as _pytest
     with _pytest.raises(KeyError, match="key columns"):
         ts.lookup("source_code", repo=row["repo"])
+
+
+def test_fanout_inline_retention_preserves_state(spark, tmp_path, log_df, oracle_hashes):
+    import os
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "f12"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=500, on_error="quarantine",
+                  compact_threshold=4, expire_keep=2)
+    assert _all_hashes(ts) == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+    snaps = os.listdir(str(tmp_path / "f12" / "_snapshots"))
+    assert len(snaps) <= 3
+    sid = ts.latest()["snapshot_id"]
+    replay_fanout(log_df, ts, chunk_size=500, on_error="quarantine")
+    assert ts.latest()["snapshot_id"] == sid  # manifests survive retention
