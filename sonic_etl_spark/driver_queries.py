@@ -427,6 +427,23 @@ SQL_DISTINCT_SKETCH = sketch_ops.kmv_distinct_sql(
 )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (theta-sketch analog): pairwise distinct-user
+    union / intersection / Jaccard estimates between event types, from
+    k=64 sketches (groups hold ~150 distinct users, forcing the estimator
+    branch). Portable estimator — the oracle computes the same merge and
+    the VALUES must match."""
+    return sketch_ops.kmv_set_overlap(
+        _t(spark, sf_dir, "events"), ["user_id"], group_col="event_type",
+        k=64,
+    )
+
+
+SQL_KMV_OVERLAP = sketch_ops.kmv_set_overlap_sql(
+    "events", ["user_id"], group_col="event_type", k=64
+)
+
+
 def q_struct_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T15: nested array<struct> build + per-element transform (withdrawal
     struct map analog, proto_support/withdrawals.rs:1-33): collect each
@@ -1309,6 +1326,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
+    "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),
     "minhash_lsh_buckets": (q_minhash_buckets, _minhash_sql()),

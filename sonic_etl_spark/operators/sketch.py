@@ -97,6 +97,119 @@ def kmv_distinct(
     return agg.select(*gb, est.cast("bigint").alias("est_distinct"))
 
 
+def kmv_group_sketches(
+    df: DataFrame, cols: list[str], k: int = 256,
+    group_cols: list[str] | None = None, salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-group KMV sketch as an ARRAY: the k smallest distinct 60-bit
+    hashes, sorted ascending — the mergeable representation set operations
+    combine. Same salted two-level selection as :func:`kmv_distinct`
+    (bounded windows; the collect_list is capped at k per group)."""
+    gb = group_cols or []
+    d = df.select(*gb, _kmv_hash(cols).alias("_h")).distinct()
+    salted = d.withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(*gb, "_salt").orderBy("_h")
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy(*gb).orderBy("_h") if gb else Window.orderBy("_h")
+    topk = cand.withColumn("_rn", F.row_number().over(w2)).where(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy(*gb).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+
+
+def kmv_set_overlap(
+    df: DataFrame, cols: list[str], group_col: str, k: int = 256,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Pairwise union / intersection cardinality estimates between groups
+    from their KMV sketches (the theta-sketch set-operation workhorse:
+    "how many distinct users do segments A and B share?" at 10^10 rows
+    without a distinct-join).
+
+    For each group pair (a < b): merge the two sketches, keep the k
+    smallest ⇒ a valid KMV of A∪B ⇒ ``union_est``; the fraction of that
+    union sketch present in BOTH input sketches estimates Jaccard ⇒
+    ``intersection_est`` = jaccard × union. When the merged sketch holds
+    fewer than k hashes both sketches were exhaustive, so the answers are
+    EXACT. The pair relation is G² rows of k-length arrays — driver-scale
+    metadata, never data-scale.
+    """
+    sk = kmv_group_sketches(df, cols, k, [group_col], salt_buckets)
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("kmv").alias("ka")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("kmv").alias("kb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k
+    )
+    m = F.size(merged)
+    exhaustive = (F.size(F.array_union(F.col("ka"), F.col("kb"))) < k)
+    kth_norm = F.element_at(merged, m) / F.lit(float(TWO_POW_60))
+    union_est = F.when(exhaustive, m.cast("double")).otherwise(
+        F.floor(F.lit(float(k - 1)) / kth_norm)
+    )
+    in_both = F.size(
+        F.array_intersect(merged, F.array_intersect(F.col("ka"), F.col("kb")))
+    )
+    jaccard = in_both / m.cast("double")
+    inter_est = F.when(
+        exhaustive,
+        F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double"),
+    ).otherwise(F.floor(jaccard * union_est))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        union_est.cast("bigint").alias("union_est"),
+        inter_est.cast("bigint").alias("intersection_est"),
+        F.round(jaccard, 4).alias("jaccard_est"),
+    )
+
+
+def kmv_set_overlap_sql(
+    table: str, cols: list[str], group_col: str, k: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`kmv_set_overlap` — same hashes, same merge,
+    same estimators, value-for-value."""
+    joined = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    two60 = float(TWO_POW_60)
+    return f"""
+WITH _kv_d AS (
+  SELECT DISTINCT {group_col} AS g,
+         CAST(CAST(('0x' || substr(md5({joined}), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM {table}),
+_kv_r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM _kv_d),
+_kv_sk AS (SELECT g, list(h ORDER BY h) AS kmv
+           FROM _kv_r WHERE rn <= {k} GROUP BY g),
+_kv_p AS (SELECT a.g AS group_a, b.g AS group_b, a.kmv AS ka, b.kmv AS kb
+          FROM _kv_sk a JOIN _kv_sk b ON a.g < b.g),
+_kv_c AS (SELECT *, list_sort(list_distinct(ka || kb)) AS uni FROM _kv_p),
+_kv_e AS (SELECT *, uni[1:{k}] AS merged, len(uni) AS ulen FROM _kv_c),
+_kv_f AS (SELECT *, len(merged) AS m,
+                 len(list_intersect(list_intersect(merged, ka), kb)) AS in_both
+          FROM _kv_e)
+SELECT group_a, group_b,
+       CAST(CASE WHEN ulen < {k} THEN m
+                 ELSE floor({float(k - 1)} / (merged[m] / {two60})) END
+            AS BIGINT) AS union_est,
+       CAST(CASE WHEN ulen < {k} THEN len(list_intersect(ka, kb))
+                 ELSE floor((in_both / CAST(m AS DOUBLE))
+                            * floor({float(k - 1)} / (merged[m] / {two60})))
+            END AS BIGINT) AS intersection_est,
+       round(in_both / CAST(m AS DOUBLE), 4) AS jaccard_est
+FROM _kv_f
+"""
+
+
 def kmv_distinct_sql(
     table: str, cols: list[str], k: int = 256,
     group_cols: list[str] | None = None,

@@ -75,3 +75,29 @@ def test_approx_distinct_hll_bounded_error(spark):
     df = _keys(spark, 50_000)
     est = sk.approx_distinct(df, ["key"], rsd=0.05).collect()[0]["approx_distinct"]
     assert abs(est - 50_000) / 50_000 < 0.15, est
+
+
+def test_kmv_set_overlap_accuracy_and_exact_branch(spark):
+    """Union/intersection estimates land near truth in the estimator branch
+    and are EXACT when both sketches are exhaustive (< k distinct)."""
+    import pyspark.sql.functions as F
+
+    # groups A/B with known overlap: A = 0..5999, B = 3000..8999
+    df = spark.range(9000).select(
+        F.col("id").cast("string").alias("key"),
+        F.when(F.col("id") < 6000, F.lit("A")).otherwise(None).alias("ga"),
+        F.when(F.col("id") >= 3000, F.lit("B")).otherwise(None).alias("gb"),
+    )
+    tall = df.select("key", F.col("ga").alias("g")).where("g IS NOT NULL").union(
+        df.select("key", F.col("gb").alias("g")).where("g IS NOT NULL")
+    )
+    out = sk.kmv_set_overlap(tall, ["key"], group_col="g", k=256).collect()[0]
+    assert abs(out["union_est"] - 9000) / 9000 < 0.2, out
+    assert abs(out["intersection_est"] - 3000) / 3000 < 0.35, out
+    assert 0.15 < out["jaccard_est"] < 0.55
+
+    # exhaustive branch: tiny groups -> exact answers
+    small = tall.where(F.col("key").cast("long") % 100 == 0)  # 90 keys
+    o2 = sk.kmv_set_overlap(small, ["key"], group_col="g", k=256).collect()[0]
+    assert o2["union_est"] == 90
+    assert o2["intersection_est"] == 30  # 3000..5900 step 100
