@@ -40,9 +40,12 @@ def curate_corpus(
     near_dup_threshold: float = 0.2,
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
+    return_docs: bool = False,
 ) -> DataFrame:
-    """Curated per-language corpus stats:
-    (lang_pred, n_docs, total_tokens)."""
+    """Curated per-language corpus stats
+    (lang_pred, n_docs, total_tokens) — or, with ``return_docs=True``, the
+    curated DOCUMENTS themselves (original columns, survivors only): the
+    frame a pipeline actually writes out as its training corpus."""
     q = text_ops.quality_features(docs)
     survivors = docs.join(
         q.select(id_col, "n_words", "punct_ratio"), id_col
@@ -60,6 +63,9 @@ def curate_corpus(
     )
     pairs = sim_ops.near_dup_pairs(surv_emb, threshold=near_dup_threshold)
     final = dedup_ops.dedup_keep_canonical(survivors, pairs, id_col=id_col)
+
+    if return_docs:
+        return final.select(*docs.columns)
 
     lang = text_ops.language_id(final)
     toks = final.select(

@@ -304,17 +304,23 @@ def duplicate_clusters(
 def dedup_keep_canonical(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     a_col: str = "vec_a", b_col: str = "vec_b",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Whole-corpus dedup: keep exactly one representative per duplicate
     cluster (the smallest id), pass singletons through untouched.
 
-    One broadcast-friendly left join of the corpus against the (small —
-    only docs that appear in a pair) cluster map; a doc survives iff its id
-    IS its cluster id (or it has no cluster). The dropped set is exactly
-    "non-canonical members of some cluster"."""
+    One left join of the corpus against the (usually small — only docs
+    that appear in a pair) cluster map; a doc survives iff its id IS its
+    cluster id (or it has no cluster). The dropped set is exactly
+    "non-canonical members of some cluster". ``broadcast=False`` falls
+    back to a shuffle join for the pathological regime where a large
+    fraction of the corpus is in some duplicate pair (cluster map too big
+    to broadcast)."""
     clusters = duplicate_clusters(pairs, a_col, b_col)
+    if broadcast:
+        clusters = F.broadcast(clusters)
     joined = df.join(
-        F.broadcast(clusters),
+        clusters,
         df[id_col] == clusters["member_id"],
         "left",
     )

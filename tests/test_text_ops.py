@@ -127,3 +127,24 @@ def test_curate_corpus_stages_compose(spark):
     assert sum(n for n, _ in out.values()) == 2
     assert out["en"][0] == 1 and out["en"][1] == 7
     assert out["fr"][0] == 1
+
+
+def test_curate_corpus_return_docs(spark):
+    from sonic_etl_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today", "en", "s", 0),
+            (1, "the cat sat on the mat today", "en", "s", 0),
+            (2, "le chat est sur le tapis aujourd'hui", "fr", "s", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1)] * 4) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = curate_corpus(docs, emb, min_words=3, near_dup_threshold=1.1,
+                        return_docs=True)
+    assert out.columns == docs.columns
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]  # exact dup 1 gone
