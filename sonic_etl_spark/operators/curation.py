@@ -33,11 +33,13 @@ from sonic_etl_spark.operators import text as text_ops
 
 def curate_corpus(
     docs: DataFrame,
-    emb: DataFrame,
+    emb: DataFrame | None = None,
     *,
     min_words: int = 5,
     max_punct_ratio: float = 0.3,
     near_dup_threshold: float = 0.2,
+    near_dup_on: str = "embedding",
+    text_jaccard_threshold: float = 0.6,
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
     return_docs: bool = False,
@@ -45,7 +47,13 @@ def curate_corpus(
     """Curated per-language corpus stats
     (lang_pred, n_docs, total_tokens) — or, with ``return_docs=True``, the
     curated DOCUMENTS themselves (original columns, survivors only): the
-    frame a pipeline actually writes out as its training corpus."""
+    frame a pipeline actually writes out as its training corpus.
+
+    ``near_dup_on``: 'embedding' (default) finds near-dup pairs through
+    the hyperplane-LSH bucket join over ``emb``; 'text' needs no
+    embeddings — it uses the df-capped shingle-Jaccard join over the
+    documents themselves (pairs with Jaccard ≥ ``text_jaccard_threshold``).
+    Both paths feed the same connected-component canonical-keep."""
     q = text_ops.quality_features(docs)
     survivors = docs.join(
         q.select(id_col, "n_words", "punct_ratio"), id_col
@@ -58,10 +66,24 @@ def curate_corpus(
     keep_exact = fp.groupBy("fp_sha256").agg(F.min(id_col).alias(id_col))
     survivors = survivors.join(keep_exact.select(id_col), id_col)
 
-    surv_emb = emb.join(
-        survivors.select(F.col(id_col).alias(emb_id_col)), emb_id_col
-    )
-    pairs = sim_ops.near_dup_pairs(surv_emb, threshold=near_dup_threshold)
+    if near_dup_on == "embedding":
+        if emb is None:
+            raise ValueError(
+                "near_dup_on='embedding' needs an embeddings frame; "
+                "pass emb= or use near_dup_on='text'"
+            )
+        surv_emb = emb.join(
+            survivors.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+        )
+        pairs = sim_ops.near_dup_pairs(surv_emb, threshold=near_dup_threshold)
+    elif near_dup_on == "text":
+        pairs = dedup_ops.ngram_jaccard_pairs(
+            survivors, threshold=text_jaccard_threshold
+        ).select(
+            F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+        )
+    else:
+        raise ValueError("near_dup_on must be 'embedding' or 'text'")
     final = dedup_ops.dedup_keep_canonical(survivors, pairs, id_col=id_col)
 
     if return_docs:

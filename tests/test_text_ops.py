@@ -148,3 +148,27 @@ def test_curate_corpus_return_docs(spark):
                         return_docs=True)
     assert out.columns == docs.columns
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]  # exact dup 1 gone
+
+
+def test_curate_corpus_text_near_dup_mode(spark):
+    """No embeddings needed: shingle-Jaccard pairs feed the same
+    cluster-canonical keep."""
+    from sonic_etl_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today", "en", "s", 0),
+            (1, "the quick brown fox jumps over the lazy cat today", "en", "s", 0),
+            (2, "entirely different text about spark shuffle partitions", "en", "s", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = curate_corpus(
+        docs, near_dup_on="text", text_jaccard_threshold=0.5,
+        min_words=3, return_docs=True,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]  # 1 ~ 0 dropped
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="embedding"):
+        curate_corpus(docs, near_dup_on="embedding")
