@@ -10,10 +10,13 @@ Cross-engine determinism rules applied throughout (so value-hashes match):
 
 - counts/sizes cast to BIGINT on both sides (Spark ``size``/``length`` are
   INT, DuckDB's are BIGINT);
-- money sums emitted as exact DECIMAL(18,2) on both sides (no double cast —
-  cross-engine representability on x.xx5 edges is not a hazard we accept);
-  other doubles rounded (4dp ratios, 6dp cosines/jaccard) — both engines
-  round half-away-from-zero for the values produced here;
+- money sums emitted as BIGINT **cents** on both sides (per-row
+  ``round(value*100)`` cast to BIGINT, integer-summed). NOT double (sum is
+  order-dependent — r01 flake) and NOT DECIMAL (DuckDB's pandas layer renders
+  DECIMAL as float64, ``30958720.3`` vs Spark ``Decimal('30958720.30')`` —
+  the r03 regression). Other doubles rounded (4dp ratios, 6dp
+  cosines/jaccard) — both engines round half-away-from-zero for the values
+  produced here;
 - timestamps compared as floor-epoch BIGINT (DuckDB ``epoch()`` keeps
   fractional seconds and its CAST rounds, Spark's ``unix_timestamp`` floors);
 - portable hashing only (md5/sha2), fixed-width hex min == numeric min;
@@ -51,22 +54,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _exact_money_sum(col: str) -> F.Column:
-    """Order-independent money sum: a DOUBLE sum is not associative, so the
-    pre-round value can cross a .005 boundary depending on partition order
-    (the r01 ``user_activity`` hash flake). Summing exact decimals makes the
-    aggregate bit-stable on any engine/partitioning, and the published type
-    stays DECIMAL(18,2) end-to-end — no final double cast, whose last-bit
-    representability could differ across engines on x.xx5 edges. Inputs are
-    2-dp doubles, so the decimal(18,4) per-row cast is exact and the scale-2
-    narrowing never rounds."""
-    return F.sum(F.col(col).cast("decimal(18,4)")).cast("decimal(18,2)")
+def _money_cents_sum(col: str) -> F.Column:
+    """Order-independent money sum as BIGINT **cents**. A DOUBLE sum is not
+    associative (the r01 ``user_activity`` hash flake), and the r03 attempt
+    to publish DECIMAL(18,2) was refuted by the driver's hash layer: DuckDB's
+    pandas conversion renders DECIMAL as float64 (``30958720.3``) while
+    Spark keeps ``Decimal('30958720.30')`` — trailing-zero cents can never
+    hash-match. Integer cents fix all three properties at once: the per-row
+    ``round(value*100)`` is exact (inputs are 2-dp doubles, so ``value*100``
+    is within 1 ulp of an integer on both engines), the integer sum is
+    order-independent, and BIGINT columns have been hash-green in all three
+    rounds."""
+    return F.sum(F.round(F.col(col) * 100).cast("long"))
 
 
-def _sql_exact_money_sum(col: str) -> str:
-    """DuckDB mirror of :func:`_exact_money_sum` (same exact-decimal sum,
-    same DECIMAL(18,2) output type)."""
-    return f"CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DECIMAL(18,2))"
+def _sql_money_cents_sum(col: str) -> str:
+    """DuckDB mirror of :func:`_money_cents_sum` (same per-row cents cast;
+    the outer BIGINT cast collapses DuckDB's HUGEINT sum back to int64 —
+    without it pandas delivers float64/decimal128 and the hash diverges)."""
+    return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS BIGINT)"
 
 
 # --------------------------------------------------------------------- core
@@ -174,14 +180,15 @@ def q_seg_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _exact_money_sum("o_totalprice").alias("revenue"),
+            _money_cents_sum("o_totalprice").alias("revenue_cents"),
         )
     )
 
 
 SQL_SEG_REV = f"""
 SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-       count(*) AS n_orders, {_sql_exact_money_sum('o.o_totalprice')} AS revenue
+       count(*) AS n_orders,
+       {_sql_money_cents_sum('o.o_totalprice')} AS revenue_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -196,20 +203,21 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _exact_money_sum("value").alias("sum_value"),
+            _money_cents_sum("value").alias("sum_value_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket_epoch"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 
 
 SQL_TIME_BUCKETS = f"""
 SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT) AS bucket_epoch,
-       event_type, count(*) AS n, {_sql_exact_money_sum('value')} AS sum_value
+       event_type, count(*) AS n,
+       {_sql_money_cents_sum('value')} AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -395,7 +403,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
             "n_clicks"
         ),
-        _exact_money_sum("value").alias("total_value"),
+        _money_cents_sum("value").alias("total_value_cents"),
         F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
     )
 
@@ -403,7 +411,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_USER_ACTIVITY = f"""
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
-       {_sql_exact_money_sum('value')} AS total_value,
+       {_sql_money_cents_sum('value')} AS total_value_cents,
        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
 FROM events GROUP BY 1
 """
