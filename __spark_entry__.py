@@ -42,11 +42,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted only for the genuinely
-    non-SQL-expressible ops (the two mapInPandas media-codec stages — all
-    38 other queries are value-oracled, including both multi-probe ANN
-    top-k paths, the KMV distinct sketch, connected-component dedup
-    clusters, and the composed corpus-curation pipeline). The CDC
-    replay/fanout queries materialize their synthesized log to parquet and
-    the SQL replays it independently."""
+    """DuckDB-equivalent SQL per query — since r4 EVERY query has one
+    (41/41): the two mapInPandas media-codec stages replay in SQL too,
+    because the stub codec's byte-sum math is reconstructible from
+    hex(payload) nibble pairs. The CDC replay/fanout queries materialize
+    their synthesized log to parquet and the SQL replays it
+    independently."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1098,12 +1098,35 @@ FROM s QUALIFY rank <= {k}
 """
 
 
-# --------------------------------------- non-SQL-expressible (rows-only)
+# ------------------------------------------------- multimodal (Arrow UDF)
+# The hex→byte trick both oracles share: DuckDB cannot index into a BLOB
+# directly, but hex() + a list comprehension over nibble pairs reconstructs
+# every byte value in pure SQL (strpos over '0123456789abcdef'), so the
+# mapInPandas codec stage's byte-sum math replays exactly.
+_SQL_NIBBLES = "'0123456789abcdef'"
+
+
+def _sql_byte_sum(hex_col: str, n_pairs: str) -> str:
+    """DuckDB expression: sum of the bytes encoded by ``hex_col`` (lowercase
+    hex string), where ``n_pairs`` is the byte count. coalesce handles the
+    empty payload (empty list → NULL sum, the fake codec yields 0)."""
+    return (
+        "CAST(coalesce(list_sum("
+        f"[ (strpos({_SQL_NIBBLES}, {hex_col}[2*i-1:2*i-1]) - 1) * 16"
+        f"  + (strpos({_SQL_NIBBLES}, {hex_col}[2*i:2*i]) - 1)"
+        f"  for i in generate_series(1, CAST({n_pairs} AS INT)) ]), 0) "
+        "AS BIGINT)"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads.
 
-    Rows-only check: the mapInPandas codec stage has no SQL equivalent; its
-    determinism is covered by tests/test_multimodal.py goldens.
+    Value-oracled since r4: the stub codec's byte-sum checksum is
+    deterministic, so DuckDB can replay it byte-for-byte from hex(payload)
+    (``SQL_MULTIMODAL_FEATURES``). The vector itself (`feature`) is dropped
+    from the gate projection — its chunk sums are the same byte math, and
+    goldens in tests/test_multimodal.py pin it.
     """
     media = mm_ops.attach_media(_t(spark, sf_dir, "documents"))
     return mm_ops.extract_features(media).select(
@@ -1111,14 +1134,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_MULTIMODAL_FEATURES = f"""
+WITH pay AS (SELECT doc_id, encode(text) AS payload FROM documents),
+hx AS (SELECT doc_id, lower(hex(payload)) AS h,
+              CAST(octet_length(payload) AS BIGINT) AS n_bytes FROM pay)
+SELECT doc_id, 'text' AS media_type, n_bytes,
+       {_sql_byte_sum('h', 'n_bytes')} AS feat_checksum
+FROM hx
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video-pipeline shape): one payload → one row
-    per sampled frame via mapInPandas row fan-out. Rows-only: the codec
-    stage has no SQL equivalent; determinism is pytest-golden-covered."""
+    per sampled frame via mapInPandas row fan-out. Value-oracled since r4:
+    the 64-byte framing, every-4th sampling and per-frame byte-sum all
+    replay in DuckDB (``SQL_MULTIMODAL_FRAMES``). frame_index/n_frames are
+    published as BIGINT on both sides (Spark's int would land as int32 vs
+    DuckDB's int64)."""
     media = mm_ops.attach_media(_t(spark, sf_dir, "documents"))
     return mm_ops.frame_sample(media, frame_bytes=64, every_k=4).select(
-        "doc_id", "frame_index", "n_frames", "frame_checksum"
+        "doc_id",
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        "frame_checksum",
     )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH pay AS (SELECT doc_id, encode(text) AS payload FROM documents),
+hx AS (SELECT doc_id, lower(hex(payload)) AS h,
+              CAST(octet_length(payload) AS BIGINT) AS nb FROM pay),
+fr AS (SELECT doc_id, h,
+              greatest(CAST(ceil(nb / 64.0) AS BIGINT), 1) AS n_frames FROM hx),
+idx AS (SELECT doc_id, h, n_frames,
+               unnest(generate_series(0, n_frames - 1, 4)) AS fi FROM fr),
+sl AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_index, n_frames,
+              substr(h, CAST(128 * fi + 1 AS INT), 128) AS fh FROM idx)
+SELECT doc_id, frame_index, n_frames,
+       {_sql_byte_sum('fh', 'length(fh) // 2')} AS frame_checksum
+FROM sl
+"""
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,8 +1405,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)
-    "multimodal_features": (q_multimodal_features, None),
-    "multimodal_frames": (q_multimodal_frames, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
     "fanout_invariants": (q_fanout_invariants, SQL_FANOUT_INVARIANTS),
     "quarantine_by_class": (q_quarantine_by_class, SQL_QUARANTINE),
