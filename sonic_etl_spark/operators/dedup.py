@@ -73,9 +73,16 @@ def _fanout(df: DataFrame) -> DataFrame:
     per-row fan-out plus the per-shingle hashing onto a single core; the
     cheap pre-explode repartition buys full-cluster parallelism (measured
     9s → 0.85s for minhash at sf0.1 on local[32]). No-op when the input is
-    already at least defaultParallelism partitions (the 100 TB case)."""
+    already at least defaultParallelism partitions (the 100 TB case).
+
+    The partition probe goes through the JVM plan directly (``_jdf.rdd()``)
+    when available: plan-only, and skips ``DataFrame.rdd``'s Python-facing
+    conversion wrapper. Falls back to the public accessor elsewhere (e.g.
+    Spark Connect)."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    jdf = getattr(df, "_jdf", None)
+    n_in = (jdf.rdd() if jdf is not None else df.rdd).getNumPartitions()
+    if n_in < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -237,7 +244,7 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def duplicate_clusters(
     pairs: DataFrame, a_col: str = "vec_a", b_col: str = "vec_b",
-    max_iter: int = 20,
+    max_iter: int = 20, on_max_iter: str = "raise",
 ) -> DataFrame:
     """Near-duplicate PAIRS → duplicate CLUSTERS: connected components with
     cluster_id = the smallest member id (deterministic canonical label).
@@ -249,17 +256,35 @@ def duplicate_clusters(
     iteration each node adopts min(own label, neighbours' labels); converges
     in O(component diameter) rounds (near-dup clusters are small and dense,
     so typically 2-4). Per round: one equi-join + one groupBy-min, both
-    shuffles on uniform node ids; the convergence check doubles as the
-    materialization barrier (each round's labels are cached and the previous
-    round unpersisted, so lineage stays O(1) across iterations, not
-    O(iterations)).
+    shuffles on uniform node ids. Each round's labels are
+    ``localCheckpoint``-ed, not merely cached: caching avoids recomputation
+    but the LOGICAL plan still doubles per round (labels feeds both the
+    union and the join), which OOMs the driver's plan tree past ~15 rounds —
+    the checkpoint truncates lineage to a materialized scan so the plan
+    stays O(1) at any iteration count. Superseded checkpoint blocks are
+    dropped by Spark's ContextCleaner once the previous round's frame goes
+    out of scope.
 
     Output: (member_id, cluster_id) for every node that appears in a pair.
     Singletons never enter the edge list — see :func:`dedup_keep_canonical`
     for whole-corpus assignment.
+
+    Failure modes surfaced, never silent:
+
+    - ids must be numeric (the long cast is what makes min() the canonical
+      label and lets the DuckDB oracle replay it); a non-castable id would
+      become NULL and downstream ``dedup_keep_canonical`` would then keep
+      every document — so any null src/dst after the cast raises.
+    - components with diameter > ``max_iter`` exit the loop with non-minimal
+      labels (under-merged clusters). ``on_max_iter='raise'`` (default)
+      raises; ``'warn'`` emits a warning and returns the partial labels for
+      callers that prefer progress over exactness.
     """
+    if on_max_iter not in ("raise", "warn"):
+        raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
     half = pairs.select(
-        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+        F.col(a_col).try_cast("long").alias("src"),
+        F.col(b_col).try_cast("long").alias("dst"),
     )
     edges = (
         half.union(
@@ -268,13 +293,23 @@ def duplicate_clusters(
         .distinct()
         .cache()
     )
+    n_null = edges.where(
+        F.col("src").isNull() | F.col("dst").isNull()
+    ).count()  # same cached pass that seeds labels below — no extra scan of pairs
+    if n_null:
+        edges.unpersist()
+        raise ValueError(
+            f"duplicate_clusters: {n_null} edge(s) have null/non-numeric ids "
+            f"after cast to long ({a_col}/{b_col}); numeric doc ids are "
+            "required for min-label canonicalization"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iter):
         neighbour = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -283,7 +318,7 @@ def duplicate_clusters(
             labels.union(neighbour)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -291,11 +326,23 @@ def duplicate_clusters(
             .where(F.col("new_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        msg = (
+            f"duplicate_clusters did not converge in max_iter={max_iter} "
+            f"rounds ({changed} label(s) still changing): some component has "
+            f"diameter > {max_iter} and its labels are not yet minimal "
+            "(under-merged clusters). Raise max_iter (rounds needed = "
+            "component diameter)."
+        )
+        if on_max_iter == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
     )

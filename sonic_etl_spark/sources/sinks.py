@@ -121,7 +121,16 @@ class SpanLedger:
     appended (atomic tmp+rename), and an incoming manifest is reduced to its
     UNCOVERED remainder before anything is sent. Requires manifests that
     assert only offsets actually present (streaming.stream.observed_manifests
-    emits exact dense runs for this reason)."""
+    emits exact dense runs for this reason).
+
+    Concurrency contract: ``advance()`` holds an exclusive ``flock`` on a
+    sidecar lock file across its read-merge-write, so two processes sharing
+    one ledger path can never lose each other's committed spans. The
+    *decide-then-publish* window (``read`` → send → ``advance``) is NOT
+    atomic though — two publishers racing the same uncovered span can still
+    both send it — so the deduplication guarantee requires a single ACTIVE
+    publisher per ledger (the streaming drivers here run one); concurrent
+    publishers degrade to at-least-once, never to span loss."""
 
     FILENAME = "_published_spans.json"
 
@@ -138,14 +147,17 @@ class SpanLedger:
             return [tuple(x) for x in json.load(f)]
 
     def advance(self, new_spans: list[tuple[int, int, int]]) -> None:
+        import fcntl
         import json
         import os
 
-        merged = self.merge_spans(self.read() + list(new_spans))
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(sorted([list(s) for s in merged]), f)
-        os.replace(tmp, self.path)  # atomic on POSIX
+        with open(self.path + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            merged = self.merge_spans(self.read() + list(new_spans))
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted([list(s) for s in merged]), f)
+            os.replace(tmp, self.path)  # atomic on POSIX
 
     @staticmethod
     def subtract_covered(
@@ -230,10 +242,29 @@ class JsonlChunkSink:
         os.makedirs(path, exist_ok=True)
         self.ledger = SpanLedger(os.path.join(path, SpanLedger.FILENAME))
 
+    # Longest span-listing dir name we will emit literally. Past this, the
+    # name switches to a digest of the full span list: POSIX NAME_MAX is 255
+    # bytes, and a many-partition / many-run batch (re-batched redelivery
+    # fragments runs further) can easily exceed it — mkdir then fails and the
+    # whole batch aborts. The digest keeps the idempotence contract (same
+    # uncovered span set → same dir name) at any span count.
+    _MAX_LITERAL_DIR = 200
+
     @staticmethod
     def _batch_dir(manifest_entries) -> str:
-        return "batch_" + "_".join(
-            f"p{p}-{s}-{e}" for p, s, e in sorted(tuple(m) for m in manifest_entries)
+        spans = sorted(tuple(m) for m in manifest_entries)
+        literal = "batch_" + "_".join(f"p{p}-{s}-{e}" for p, s, e in spans)
+        if len(literal) <= JsonlChunkSink._MAX_LITERAL_DIR:
+            return literal
+        import hashlib
+
+        digest = hashlib.sha256(
+            ";".join(f"{p}:{s}:{e}" for p, s, e in spans).encode()
+        ).hexdigest()[:16]
+        first, last = spans[0], spans[-1]
+        return (
+            f"batch_p{first[0]}-{first[1]}_to_p{last[0]}-{last[2]}"
+            f"_{len(spans)}spans_{digest}"
         )
 
     def publish_batch(self, updates: DataFrame, manifest_entries, metrics=None) -> dict:

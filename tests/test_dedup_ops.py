@@ -126,3 +126,50 @@ def test_dedup_keep_canonical_drops_non_representatives(spark):
     )
     # cluster {0,3,5} keeps 0; singletons 1,2,4 pass through
     assert kept == [0, 1, 2, 4]
+
+
+def test_duplicate_clusters_raises_past_max_iter(spark):
+    """A 26-node path graph has diameter 25: at max_iter=20 labels are still
+    moving, which must RAISE (silent partial labels under-dedup); warn mode
+    returns the partial labels with a RuntimeWarning; a big-enough max_iter
+    converges to one component labeled 0."""
+    import warnings
+
+    import pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "vec_a bigint, vec_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.duplicate_clusters(path, max_iter=20)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = dedup_ops.duplicate_clusters(
+            path, max_iter=20, on_max_iter="warn"
+        ).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len(partial) == 26  # every node labeled, just not minimally
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in dedup_ops.duplicate_clusters(path, max_iter=30).collect()
+    }
+    assert got == {i: 0 for i in range(26)}
+
+
+def test_duplicate_clusters_rejects_non_numeric_ids(spark):
+    """String ids that don't cast to long must raise, not silently become
+    NULL edges (which would make dedup_keep_canonical keep everything)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB")], "vec_a string, vec_b string"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        dedup_ops.duplicate_clusters(pairs)
+    # numeric strings are fine — the cast is exact
+    ok = spark.createDataFrame([("1", "2")], "vec_a string, vec_b string")
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in dedup_ops.duplicate_clusters(ok).collect()
+    }
+    assert got == {1: 1, 2: 1}

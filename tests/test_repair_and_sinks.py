@@ -261,3 +261,20 @@ def test_http_post_sink_transport_contract(spark, tmp_path):
         assert status["status"] == "skipped"
     finally:
         srv.shutdown()
+
+
+def test_batch_dir_name_bounded_and_deterministic():
+    """A many-span batch (re-batched redelivery fragments runs) must not
+    build a dir name past POSIX NAME_MAX — mkdir would fail and abort the
+    batch. Past the literal cap the name switches to a span-list digest,
+    still deterministic so a crash-rewrite lands in the SAME dir."""
+    from sonic_etl_spark.sources.sinks import JsonlChunkSink
+
+    few = [(0, 0, 9), (1, 10, 19)]
+    assert JsonlChunkSink._batch_dir(few) == "batch_p0-0-9_p1-10-19"
+
+    many = [(p, i * 100, i * 100 + 50) for p in range(8) for i in range(10)]
+    name = JsonlChunkSink._batch_dir(many)
+    assert len(name) < 255
+    assert name == JsonlChunkSink._batch_dir(list(reversed(many)))  # order-free
+    assert name != JsonlChunkSink._batch_dir(many[:-1])  # span-set sensitive

@@ -53,3 +53,30 @@ def test_subtract_after_advance_is_empty(entries, covered):
     todo = SpanLedger.subtract_covered(entries, covered)
     new_covered = SpanLedger.merge_spans(covered + todo)
     assert SpanLedger.subtract_covered(entries, new_covered) == []
+
+
+def test_concurrent_advance_loses_no_spans(tmp_path):
+    """Two writers interleaving advance() on one ledger path must never lose
+    a committed span: advance holds an exclusive flock across its
+    read-merge-write. (flock on separate fds contends even within one
+    process, so threads model two publisher processes faithfully.)"""
+    import threading
+
+    ledger = SpanLedger(str(tmp_path / "spans.json"))
+    n_each = 50
+
+    def writer(part: int):
+        for i in range(n_each):
+            ledger.advance([(part, i * 10, i * 10 + 9)])
+
+    threads = [threading.Thread(target=writer, args=(p,)) for p in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    covered = ledger.read()
+    # every span committed by either writer is fully covered
+    for part in (0, 1):
+        assert SpanLedger.subtract_covered(
+            [(part, 0, n_each * 10 - 1)], covered
+        ) == []
