@@ -59,6 +59,10 @@ def main() -> None:
                     help="after replay, expire snapshots keeping the N most "
                          "recent (retention maintenance; delta roots already "
                          "superseded by compaction are reclaimed)")
+    ap.add_argument("--metrics-port", type=int, default=None,
+                    help="serve GET /healthz (liveness, 503 when stale) and "
+                         "GET /metrics (totals + per-batch tail) on this "
+                         "port for the duration of the replay")
     args = ap.parse_args()
 
     from sonic_etl_spark.session import get_spark
@@ -68,6 +72,11 @@ def main() -> None:
     stop = (
         (lambda: os.path.exists(args.stop_file)) if args.stop_file else None
     )
+    monitor = None
+    if args.metrics_port is not None:
+        from sonic_etl_spark.streaming.monitor import ReplayMonitor
+
+        monitor = ReplayMonitor(port=args.metrics_port).start()
 
     if args.fanout:
         from sonic_etl_spark.sources.multitable import TransactionalTableSet
@@ -82,6 +91,7 @@ def main() -> None:
             max_batches=args.max_batches,
             on_error=args.on_error,
             stop_requested=stop,
+            monitor=monitor,
         )
         snapshot = tables.latest()["snapshot_id"]
     else:
@@ -97,6 +107,7 @@ def main() -> None:
             max_batches=args.max_batches,
             validate=not args.no_validate,
             stop_requested=stop,
+            monitor=monitor,
         )
         snapshot = table.latest()["snapshot_id"]
     out = {
@@ -110,6 +121,8 @@ def main() -> None:
     if args.expire_keep is not None:
         target = tables if args.fanout else table
         out["retention"] = target.expire_snapshots(keep_last=args.expire_keep)
+    if monitor is not None:
+        monitor.stop()
     print(json.dumps(out))
 
 

@@ -271,6 +271,7 @@ def replay_fanout(
     crash_after_batches: int | None = None,
     compact_threshold: int | None = 16,
     expire_keep: int | None = None,
+    monitor=None,
 ) -> ReplayResult:
     """Replay all uncommitted ranges into the fan-out table set.
 
@@ -282,6 +283,9 @@ def replay_fanout(
 
     ``expire_keep``: inline retention, as in ``replay()`` — one call per
     committed batch covers every table of the set (shared snapshot log).
+
+    ``monitor``: optional ReplayMonitor — per-batch metrics push + liveness
+    refresh, as in ``replay()``.
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
@@ -334,6 +338,8 @@ def replay_fanout(
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]
         res.batch_metrics.append(bm)
+        if monitor is not None:
+            monitor.record_batch(bm)
         if status["status"] == "committed":
             res.batches_applied += 1
             res.rows_seen += n_rows

@@ -61,8 +61,14 @@ def replay(
     crash_after_batches: int | None = None,
     compact_threshold: int | None = 16,
     expire_keep: int | None = None,
+    monitor=None,
 ) -> ReplayResult:
     """Replay all uncommitted offset ranges of ``change_log`` into ``table``.
+
+    ``monitor``: an optional :class:`~sonic_etl_spark.streaming.monitor.
+    ReplayMonitor` — each batch's metrics dict is pushed to its /metrics
+    tail and refreshes its /healthz liveness (ST6; ref main.rs:317-355's
+    health+metrics servers beside the worker loop).
 
     ``crash_after_batches`` is a test hook: raise mid-replay to prove
     resumability (the crash/restart pytest required by SURVEY.md §7.1 M2).
@@ -116,6 +122,8 @@ def replay(
         bm["events_per_sec"] = round(n_rows / max(bm["elapsed_sec"], 1e-9), 1)
         bm["status"] = status["status"]
         res.batch_metrics.append(bm)
+        if monitor is not None:
+            monitor.record_batch(bm)
         if status["status"] == "committed":
             res.batches_applied += 1
             res.rows_seen += n_rows
