@@ -35,6 +35,7 @@ from sonic_etl_spark.functions import catalog as catalog_ops
 from sonic_etl_spark.operators import audit as audit_ops
 from sonic_etl_spark.operators import dedup as dedup_ops
 from sonic_etl_spark.operators import merge as merge_ops
+from sonic_etl_spark.operators import curation as curation_ops
 from sonic_etl_spark.operators import multimodal as mm_ops
 from sonic_etl_spark.operators import similarity as sim_ops
 from sonic_etl_spark.operators import sketch as sketch_ops
@@ -1002,6 +1003,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.duplicate_clusters(pairs)
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs → clusters contract, via the diameter-independent
+    large-star/small-star contraction (algorithm='star', O(log²n) rounds —
+    the 100 TB path for deep components). Must match the SAME recursive-CTE
+    oracle as the hash-min gate: both emit min-member labels."""
+    pairs = sim_ops.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+    return dedup_ops.duplicate_clusters(pairs, algorithm="star")
+
+
 def _dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ({_near_dup_sql()}) _nd),
@@ -1174,6 +1186,26 @@ SELECT doc_id, frame_index, n_frames,
        {_sql_byte_sum('fh', 'length(fh) // 2')} AS frame_checksum
 FROM sl
 """
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators.curation.split_dataset):
+    per-row assignment is a pure function of (seed, doc_id) via the 60-bit
+    md5-prefix hash, so the oracle replays the exact assignment — plus
+    per-split counts are summarized in pytest (proportion bounds)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation_ops.split_dataset(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+SQL_DATASET_SPLIT = (
+    "SELECT doc_id, split FROM ("
+    + curation_ops.split_dataset_sql(
+        "documents", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    + ") _s"
+)
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,7 +1433,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
     "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
+    "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

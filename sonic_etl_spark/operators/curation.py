@@ -103,3 +103,86 @@ def curate_corpus(
             F.sum("n_toks").alias("total_tokens"),
         )
     )
+
+
+# 2^60 — split thresholds live in the 60-bit md5-prefix hash space (the same
+# portable hash as operators.sketch; exact integer literals on both engines)
+_TWO_POW_60 = 1 << 60
+
+
+def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bound in hash space) per split, cumulative in
+    the dict's insertion order; weights are normalized so any positive
+    numbers work (98/1/1 == 0.98/0.01/0.01). Computed ONCE driver-side and
+    embedded as integer literals in both engines' expressions — no
+    cross-engine float rounding can disagree."""
+    if not weights:
+        raise ValueError("split_dataset: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"split_dataset: weights must be positive, got {weights}")
+    total = float(sum(weights.values()))
+    out, acc = [], 0.0
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, int(acc * _TWO_POW_60)))
+    out[-1] = (out[-1][0], _TWO_POW_60)  # exact cover of the hash space
+    return out
+
+
+def _split_hash(id_col: str, seed: str) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs, as a pure column function (no sampling state, no RNG).
+
+    Each row's split is a function of (seed, id) ONLY: stable across runs,
+    partitioning, cluster size, and row order; disjoint and exhaustive by
+    construction (cumulative thresholds partition the 60-bit hash space);
+    changing ``seed`` re-rolls the whole assignment, changing nothing else.
+    A narrow map — zero shuffles, zero actions — so it composes anywhere in
+    a pipeline at any scale. md5-based like the engine's other portable
+    hashes, so a DuckDB oracle replays the assignment bit-for-bit
+    (:func:`split_dataset_sql`).
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    h = _split_hash(id_col, seed)
+    expr = None
+    for name, bound in _split_thresholds(weights):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def split_dataset_sql(
+    table: str,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> str:
+    """DuckDB mirror of :func:`split_dataset` (same hash, same thresholds)."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    h = (
+        "CAST(CAST(('0x' || substr(md5('"
+        + seed
+        + f":' || CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    cases = " ".join(
+        f"WHEN {h} < {bound} THEN '{name}'"
+        for name, bound in _split_thresholds(weights)
+    )
+    return f"SELECT *, CASE {cases} END AS split FROM {table}"

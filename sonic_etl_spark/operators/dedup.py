@@ -245,6 +245,7 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
 def duplicate_clusters(
     pairs: DataFrame, a_col: str = "vec_a", b_col: str = "vec_b",
     max_iter: int = 20, on_max_iter: str = "raise",
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Near-duplicate PAIRS → duplicate CLUSTERS: connected components with
     cluster_id = the smallest member id (deterministic canonical label).
@@ -279,13 +280,36 @@ def duplicate_clusters(
       labels (under-merged clusters). ``on_max_iter='raise'`` (default)
       raises; ``'warn'`` emits a warning and returns the partial labels for
       callers that prefer progress over exactness.
+
+    ``algorithm='star'`` switches to alternating large-star / small-star
+    contraction (the two-phase MapReduce CC algorithm, Kiveris et al. 2014):
+    O(log²n) rounds INDEPENDENT of component diameter — path-400 converges
+    in ~10 rounds where hash-min needs 400. The right choice when components
+    may be deep (transitive text chains, link graphs); hash-min stays the
+    default because near-dup clusters are shallow and its per-round work is
+    lighter. Identical output on any input (both emit min-member labels);
+    ``max_iter``/``on_max_iter`` apply only to hash-min — star has an
+    internal 64-round safety cap far above its worst case.
     """
     if on_max_iter not in ("raise", "warn"):
         raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"algorithm must be 'hashmin' or 'star', got {algorithm!r}")
     half = pairs.select(
         F.col(a_col).try_cast("long").alias("src"),
         F.col(b_col).try_cast("long").alias("dst"),
     )
+    if algorithm == "star":
+        n_null = half.where(
+            F.col("src").isNull() | F.col("dst").isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"duplicate_clusters: {n_null} pair(s) have null/non-numeric "
+                f"ids after cast to long ({a_col}/{b_col}); numeric doc ids "
+                "are required for min-label canonicalization"
+            )
+        return _cc_star(half)
     edges = (
         half.union(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -336,13 +360,116 @@ def duplicate_clusters(
             f"rounds ({changed} label(s) still changing): some component has "
             f"diameter > {max_iter} and its labels are not yet minimal "
             "(under-merged clusters). Raise max_iter (rounds needed = "
-            "component diameter)."
+            "component diameter), or use algorithm='star' whose round count "
+            "is O(log^2 n) regardless of diameter."
         )
         if on_max_iter == "raise":
             raise RuntimeError(msg)
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return labels.select(
+        F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_star(half: DataFrame, safety_cap: int = 64) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014): each round reattaches nodes to their neighborhood
+    minimum, halving component height — O(log²n) rounds w.h.p. regardless of
+    diameter, vs O(diameter) for hash-min propagation.
+
+    Per round (both stars are one groupBy-min + one equi-join on node id):
+
+    - LARGE-STAR over the symmetrized edges: every node u computes
+      m = min(Γ(u) ∪ {u}) and re-points its LARGER neighbors at m.
+    - SMALL-STAR over max→min oriented edges: u re-points its smaller
+      neighbors (and itself) at m.
+
+    Edges stay max→min oriented by construction after a round, components
+    shrink toward stars centered on their minimum; convergence = edge set
+    unchanged (cheap (count, sum-of-hash) signature per round, confirmed
+    with an exact exceptAll check before exiting). Each round's edge set is
+    ``localCheckpoint``-ed for the same O(1)-plan reason as hash-min.
+
+    Labels: in a converged forest of stars every member edge points at its
+    component minimum; the original node set is unioned back with self
+    labels so no node can drop out of the answer.
+    """
+    nodes = (
+        half.select(F.col("src").alias("id"))
+        .union(half.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        half.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame):
+        # xor-fold of row hashes: order-independent over the distinct edge
+        # set and can't overflow (a sum of int64 hashes trips ANSI mode)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _ in range(safety_cap):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # large-star: bigger neighbors v > u attach to u's minimum (v > u >= m,
+        # so the emitted (v, m) pairs are already max->min oriented)
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star over the re-oriented result: smaller neighbors (and u
+        # itself) attach to the minimum
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+        )
+        new_edges = small.distinct().localCheckpoint(eager=True)
+        new_sig = signature(new_edges)
+        if new_sig == sig:
+            # signatures are probabilistic — confirm exactly before exiting
+            if (
+                new_edges.exceptAll(edges).isEmpty()
+                and edges.exceptAll(new_edges).isEmpty()
+            ):
+                edges = new_edges
+                break
+        edges, sig = new_edges, new_sig
+    else:
+        raise RuntimeError(
+            f"_cc_star did not converge in {safety_cap} rounds — "
+            "not expected for any input (bound is O(log^2 n)); file a bug"
+        )
+    labels = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .union(nodes.select("id", F.col("id").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
     )

@@ -173,3 +173,46 @@ def test_duplicate_clusters_rejects_non_numeric_ids(spark):
         for r in dedup_ops.duplicate_clusters(ok).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+def test_star_contraction_matches_hashmin_and_handles_deep_chains(spark):
+    """algorithm='star' (large-star/small-star contraction) must produce
+    exactly the hash-min labels on arbitrary graphs, and converge on a
+    diameter-400 path in its O(log^2 n) rounds — where hash-min would need
+    max_iter=400."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(0, 120, 3))
+    raw = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    pairs = spark.createDataFrame(raw, "vec_a bigint, vec_b bigint")
+    hashmin = {
+        (r["member_id"], r["cluster_id"])
+        for r in dedup_ops.duplicate_clusters(pairs, max_iter=60).collect()
+    }
+    star = {
+        (r["member_id"], r["cluster_id"])
+        for r in dedup_ops.duplicate_clusters(pairs, algorithm="star").collect()
+    }
+    assert star == hashmin
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "vec_a bigint, vec_b bigint"
+    )
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in dedup_ops.duplicate_clusters(path, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(401)}
+
+
+def test_star_contraction_rejects_non_numeric_ids(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB")], "vec_a string, vec_b string"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        dedup_ops.duplicate_clusters(pairs, algorithm="star")

@@ -172,3 +172,52 @@ def test_curate_corpus_text_near_dup_mode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="embedding"):
         curate_corpus(docs, near_dup_on="embedding")
+
+
+def test_split_dataset_deterministic_exhaustive_proportional(spark):
+    """split_dataset: pure function of (seed, id) — stable under
+    repartitioning, disjoint+exhaustive, proportions near the weights at
+    n=20k, and a different seed re-rolls the assignment."""
+    from sonic_etl_spark.operators.curation import split_dataset
+
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = split_dataset(ids, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # exhaustive, no NULL
+    assert sum(counts.values()) == 20_000
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+
+    # partitioning-invariant: same assignment at any layout
+    a = dict(out.select("doc_id", "split").collect())
+    b = dict(
+        split_dataset(ids.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split").collect()
+    )
+    assert a == b
+
+    # integer weights normalize like fractions; seed change re-rolls
+    c = dict(
+        split_dataset(ids, {"train": 8, "val": 1, "test": 1})
+        .select("doc_id", "split").collect()
+    )
+    assert c == a
+    d = dict(
+        split_dataset(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="v2")
+        .select("doc_id", "split").collect()
+    )
+    assert d != a and set(d.values()) == {"train", "val", "test"}
+
+
+def test_split_dataset_rejects_bad_weights(spark):
+    import pytest
+
+    from sonic_etl_spark.operators.curation import split_dataset
+
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        split_dataset(ids, {"train": 1.0, "val": 0.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_dataset(ids, {})
