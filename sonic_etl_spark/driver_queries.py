@@ -1208,6 +1208,21 @@ SQL_DATASET_SPLIT = (
 )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (curation.pack_sequences): docs →
+    fixed-token-budget training sequences, sharded by seeded hash into
+    groups and first-fit-packed in hash order within each group via ONE
+    applyInPandas pass. Fully deterministic, so the oracle replays the
+    greedy scan with a recursive CTE (one row per group per step)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation_ops.pack_sequences(docs, budget=256, n_groups=16)
+
+
+SQL_PACK_SEQUENCES = curation_ops.pack_sequences_sql(
+    "documents", budget=256, n_groups=16
+)
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
@@ -1436,6 +1451,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

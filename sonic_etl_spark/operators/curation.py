@@ -186,3 +186,131 @@ def split_dataset_sql(
         for name, bound in _split_thresholds(weights)
     )
     return f"SELECT *, CASE {cases} END AS split FROM {table}"
+
+
+PACK_SCHEMA = (
+    "doc_id bigint, pack_group int, pack_index bigint, pack_offset bigint, "
+    "n_tokens bigint"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_groups: int = 64,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences ("packs"), the step that turns a curated corpus into
+    padded-batch-free pretraining samples.
+
+    Global greedy packing is inherently sequential, so the distributed
+    formulation shards first: every doc hashes to one of ``n_groups`` pack
+    groups (same seeded 60-bit md5 hash as :func:`split_dataset` — the
+    shard AND the in-shard order are pure functions of (seed, id), so the
+    result is identical at any partitioning or cluster size). Within a
+    group, docs are packed first-fit-in-hash-order by one Arrow-batched
+    ``applyInPandas`` pass: a doc joins the current pack unless that would
+    exceed ``budget``, else it starts the next pack. At 100 TB, n_groups
+    scales with the cluster (each group's pandas frame is corpus/n_groups);
+    sharding costs one shuffle and loses at most one partial pack per group
+    vs the sequential ideal — negligible waste for n_groups ≪ n_docs/
+    docs-per-pack.
+
+    A doc longer than ``budget`` gets a pack of its own (the only packs
+    that can exceed budget — truncation is the tokenizer's job, not the
+    packer's). ``token_col`` uses a precomputed length column; default
+    counts whitespace tokens of ``text_col`` (same expression as the
+    token-count operator, so the oracle can replay it).
+
+    Output, one row per doc: (doc_id, pack_group, pack_index within group,
+    pack_offset tokens before this doc in its pack, n_tokens).
+    """
+    import pandas as pd
+
+    from sonic_etl_spark.operators.text import word_count
+
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    toks = (
+        F.col(token_col) if token_col is not None else word_count(F.col(text_col))
+    )
+    h = _split_hash(id_col, seed)
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        F.pmod(h, F.lit(n_groups)).cast("int").alias("pack_group"),
+        h.alias("_ord"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "doc_id"], kind="mergesort")
+        pack_index, pack_offset = [], []
+        idx, filled = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if filled > 0 and filled + n > budget:
+                idx += 1
+                filled = 0
+            pack_index.append(idx)
+            pack_offset.append(filled)
+            filled += n
+        out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
+        out["pack_index"] = pd.Series(pack_index, index=pdf.index, dtype="int64")
+        out["pack_offset"] = pd.Series(pack_offset, index=pdf.index, dtype="int64")
+        return out[
+            ["doc_id", "pack_group", "pack_index", "pack_offset", "n_tokens"]
+        ]
+
+    return base.groupBy("pack_group").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_sequences_sql(
+    table: str,
+    budget: int,
+    n_groups: int = 64,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` (default whitespace tokens):
+    the greedy scan is a recursive CTE stepping one row per group per
+    iteration — all groups advance in parallel, so recursion depth is the
+    LARGEST group, not the corpus."""
+    h = (
+        "CAST(CAST(('0x' || substr(md5('"
+        + seed
+        + f":' || CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    ntok = (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({text_col}), ' +')) END"
+    )
+    return f"""
+WITH RECURSIVE _pk_base AS (
+  SELECT {id_col} AS doc_id, CAST({ntok} AS BIGINT) AS n_tokens,
+         CAST({h} % {n_groups} AS INTEGER) AS pack_group, {h} AS _ord
+  FROM {table}),
+_pk_t AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY pack_group ORDER BY _ord, doc_id) AS rn
+  FROM _pk_base),
+_pk_rec(pack_group, rn, doc_id, n_tokens, pack_index, pack_offset, filled) AS (
+  SELECT pack_group, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+  FROM _pk_t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.filled > 0 AND r.filled + t.n_tokens > {budget}
+              THEN r.pack_index + 1 ELSE r.pack_index END,
+         CASE WHEN r.filled > 0 AND r.filled + t.n_tokens > {budget}
+              THEN 0 ELSE r.filled END,
+         CASE WHEN r.filled > 0 AND r.filled + t.n_tokens > {budget}
+              THEN t.n_tokens ELSE r.filled + t.n_tokens END
+  FROM _pk_rec r JOIN _pk_t t
+    ON t.pack_group = r.pack_group AND t.rn = r.rn + 1)
+SELECT doc_id, pack_group, pack_index, pack_offset, n_tokens FROM _pk_rec
+"""

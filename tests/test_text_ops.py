@@ -221,3 +221,48 @@ def test_split_dataset_rejects_bad_weights(spark):
         split_dataset(ids, {"train": 1.0, "val": 0.0})
     with pytest.raises(ValueError, match="non-empty"):
         split_dataset(ids, {})
+
+
+def test_pack_sequences_invariants(spark):
+    """pack_sequences: every doc exactly once; no pack over budget unless it
+    is a single oversize doc; offsets are the running token sum within the
+    pack; assignment is partitioning-invariant."""
+    from collections import defaultdict
+
+    from sonic_etl_spark.operators.curation import pack_sequences
+
+    rows = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(400)]
+    rows.append((1000, "w " * 500))  # oversize: 500 tokens > budget 128
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(docs, budget=128, n_groups=8).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r["pack_group"], r["pack_index"])].append(r)
+    for members in packs.values():
+        members.sort(key=lambda r: r["pack_offset"])
+        total, off = 0, 0
+        for m in members:
+            assert m["pack_offset"] == off
+            off += m["n_tokens"]
+            total += m["n_tokens"]
+        if total > 128:  # only a lone oversize doc may exceed the budget
+            assert len(members) == 1 and members[0]["n_tokens"] > 128
+
+    again = pack_sequences(docs.repartition(7), budget=128, n_groups=8).collect()
+    key = lambda rs: sorted(
+        (r["doc_id"], r["pack_group"], r["pack_index"], r["pack_offset"])
+        for r in rs
+    )
+    assert key(again) == key(out)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    from sonic_etl_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, budget=0)
