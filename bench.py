@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "ann_lsh_buckets",
     "near_dup_pairs",
     "distinct_sketch",
+    "dataset_split",
+    "pack_sequences",
+    "dup_clusters_star",
 ]
 
 
@@ -199,8 +202,12 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
-        df = fn(spark, SF_DIR)
+        # the timer wraps CONSTRUCTION too: iterative operators (connected
+        # components) run their propagation rounds eagerly inside fn() —
+        # timing only the final write would hide their real cost (for the
+        # lazy majority, construction adds only plan-building microseconds)
         t0 = time.time()
+        df = fn(spark, SF_DIR)
         # noop sink forces full evaluation of every column (count() alone
         # would let Catalyst prune the computed projections away)
         df.write.format("noop").mode("overwrite").save()
