@@ -266,3 +266,26 @@ def test_pack_sequences_rejects_bad_budget(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_precomputed_token_col(spark):
+    """token_col path: a precomputed length column drives packing (no text
+    needed), same greedy invariants."""
+    from sonic_etl_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i % 7) * 10 + 5) for i in range(60)],
+        "doc_id bigint, n_tok bigint",
+    )
+    out = pack_sequences(
+        docs, budget=64, token_col="n_tok", n_groups=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(60))
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r["pack_group"], r["pack_index"])].append(r["n_tokens"])
+    for members in packs.values():
+        # only a lone oversize doc (65 > 64 here) may exceed the budget
+        if sum(members) > 64:
+            assert members == [65]
