@@ -1223,6 +1223,45 @@ SQL_PACK_SEQUENCES = curation_ops.pack_sequences_sql(
 )
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (curation.pack_stats over pack_sequences):
+    per pack-group utilization, padding waste and oversize count — the
+    pre-training sanity numbers. The oracle composes the full recursive-CTE
+    packing replay with the same two aggregations, so a divergence anywhere
+    in the packer OR the report fails this gate."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = curation_ops.pack_sequences(docs, budget=256, n_groups=16)
+    return curation_ops.pack_stats(packed, budget=256)
+
+
+SQL_PACK_STATS = curation_ops.pack_stats_sql("documents", budget=256, n_groups=16)
+
+# Downsample English hard, mid-resource languages lightly, keep the rest —
+# the canonical corpus-mix move; thresholds are integer literals shared with
+# the SQL mirror so membership replays bit-for-bit.
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "es": 0.5}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (curation.sample_stratified):
+    per-language keep rates as a pure (seed, doc_id) hash filter — zero
+    shuffles, zero RNG state, stable at any partitioning. Unlisted strata
+    (de, fr here) keep everything via default_rate=1.0."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation_ops.sample_stratified(
+        docs, _SAMPLE_RATES, stratum_col="lang", default_rate=1.0
+    ).select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = (
+    "SELECT doc_id, lang, source FROM ("
+    + curation_ops.sample_stratified_sql(
+        "documents", _SAMPLE_RATES, stratum_col="lang", default_rate=1.0
+    )
+    + ") _smp"
+)
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
@@ -1452,6 +1491,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_curation": (q_corpus_curation, _curation_sql()),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "pack_stats": (q_pack_stats, SQL_PACK_STATS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

@@ -268,6 +268,166 @@ def pack_sequences(
     return base.groupBy("pack_group").applyInPandas(pack, PACK_SCHEMA)
 
 
+def pack_stats(
+    packed: DataFrame,
+    budget: int,
+) -> DataFrame:
+    """Packing-efficiency report over a :func:`pack_sequences` assignment —
+    the number a pipeline owner actually looks at before training: how full
+    the fixed-budget sequences are and how much compute padding would waste.
+
+    One row per ``pack_group``: ``n_packs``, ``n_docs``, ``total_tokens``,
+    ``waste_tokens`` (budget minus fill, summed over packs that are UNDER
+    budget — the padding a trainer must insert), ``oversize_packs`` (packs
+    exceeding budget, i.e. single docs longer than the budget — the
+    truncation workload), and ``util_pct`` (total fill / total capacity,
+    rounded to 4dp).
+
+    Two tiny aggregations: packs per (group, index) — same key prefix the
+    packer already grouped by — then groups. Output is O(n_groups) rows;
+    nothing here depends on corpus size beyond the first shuffle.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_stats: budget must be positive, got {budget}")
+    per_pack = packed.groupBy("pack_group", "pack_index").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("pack_docs"),
+    )
+    b = F.lit(budget)
+    return (
+        per_pack.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("pack_docs").alias("n_docs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.sum(F.greatest(b - F.col("pack_tokens"), F.lit(0))).alias(
+                "waste_tokens"
+            ),
+            F.sum(
+                F.when(F.col("pack_tokens") > b, F.lit(1)).otherwise(F.lit(0))
+            ).alias("oversize_packs"),
+        )
+        .withColumn(
+            "util_pct",
+            F.round(
+                F.col("total_tokens") / (F.col("n_packs") * b).cast("double"), 4
+            ),
+        )
+    )
+
+
+def pack_stats_sql(
+    table: str,
+    budget: int,
+    n_groups: int = 64,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` → :func:`pack_stats`
+    composed (the packing subquery is :func:`pack_sequences_sql` verbatim,
+    so any greedy-scan divergence fails this gate too)."""
+    inner = pack_sequences_sql(
+        table, budget, n_groups=n_groups, seed=seed,
+        id_col=id_col, text_col=text_col,
+    )
+    return f"""
+SELECT pack_group, CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_docs) AS BIGINT) AS n_docs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest({budget} - pack_tokens, 0)) AS BIGINT) AS waste_tokens,
+       CAST(sum(CASE WHEN pack_tokens > {budget} THEN 1 ELSE 0 END) AS BIGINT)
+           AS oversize_packs,
+       round(sum(pack_tokens) / (count(*) * CAST({budget} AS DOUBLE)), 4)
+           AS util_pct
+FROM (
+  SELECT pack_group, pack_index,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         CAST(count(*) AS BIGINT) AS pack_docs
+  FROM ({inner}) _packed
+  GROUP BY pack_group, pack_index) _per_pack
+GROUP BY pack_group
+"""
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the "10% of English, all of
+    the low-resource languages" step of a corpus mix, as a pure column
+    filter (no RNG state, no ``sample()`` nondeterminism).
+
+    A row survives iff its seeded 60-bit md5 hash (same portable hash as
+    :func:`split_dataset`) falls below ``rate × 2^60`` for its stratum;
+    strata missing from ``rates`` use ``default_rate``. Like the split,
+    membership is a pure function of (seed, id): stable across runs,
+    partitioning and cluster size, and — because the hash is shared with
+    ``split_dataset`` under a DIFFERENT seed namespace — uncorrelated with
+    split assignment. A narrow filter, zero shuffles; thresholds are
+    integer literals computed once driver-side so the DuckDB mirror
+    (:func:`sample_stratified_sql`) replays membership bit-for-bit.
+    """
+    thresholds = _sample_thresholds(rates, default_rate)
+    h = _split_hash(id_col, seed)
+    expr = None
+    for name, bound in thresholds.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        expr = F.when(cond, F.lit(bound)) if expr is None else expr.when(
+            cond, F.lit(bound)
+        )
+    default_bound = _rate_to_bound(default_rate, "default_rate")
+    bound_col = (
+        F.lit(default_bound) if expr is None else expr.otherwise(default_bound)
+    )
+    return df.where(h < bound_col)
+
+
+def _rate_to_bound(rate: float, what: str) -> int:
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"sample_stratified: {what} must be in [0,1], got {rate}")
+    return int(round(rate * _TWO_POW_60))
+
+
+def _sample_thresholds(
+    rates: dict[str, float], default_rate: float
+) -> dict[str, int]:
+    if not rates:
+        raise ValueError("sample_stratified: rates must be non-empty")
+    return {name: _rate_to_bound(r, f"rates[{name!r}]") for name, r in rates.items()}
+
+
+def sample_stratified_sql(
+    table: str,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "sample-v1",
+) -> str:
+    """DuckDB mirror of :func:`sample_stratified` (same hash, same integer
+    thresholds)."""
+    thresholds = _sample_thresholds(rates, default_rate)
+    h = (
+        "CAST(CAST(('0x' || substr(md5('"
+        + seed
+        + f":' || CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{name}' THEN CAST({bound} AS BIGINT)"
+        for name, bound in thresholds.items()
+    )
+    default_bound = _rate_to_bound(default_rate, "default_rate")
+    return (
+        f"SELECT * FROM {table} WHERE {h} < "
+        f"(CASE {cases} ELSE CAST({default_bound} AS BIGINT) END)"
+    )
+
+
 def pack_sequences_sql(
     table: str,
     budget: int,

@@ -289,3 +289,106 @@ def test_pack_sequences_precomputed_token_col(spark):
         # only a lone oversize doc (65 > 64 here) may exceed the budget
         if sum(members) > 64:
             assert members == [65]
+
+
+def test_pack_stats_matches_manual_report(spark):
+    """pack_stats: per-group numbers equal a hand-computed report over the
+    same pack assignment; util/waste/oversize reconcile exactly."""
+    from collections import defaultdict
+
+    from sonic_etl_spark.operators.curation import pack_sequences, pack_stats
+
+    rows = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(300)]
+    rows.append((1000, "w " * 300))  # oversize vs budget 128
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = pack_sequences(docs, budget=128, n_groups=8)
+    assignment = packed.collect()
+    got = {r["pack_group"]: r.asDict() for r in pack_stats(packed, 128).collect()}
+
+    packs = defaultdict(int)
+    docs_per_group = defaultdict(int)
+    toks_per_group = defaultdict(int)
+    for r in assignment:
+        packs[(r["pack_group"], r["pack_index"])] += r["n_tokens"]
+        docs_per_group[r["pack_group"]] += 1
+        toks_per_group[r["pack_group"]] += r["n_tokens"]
+    want_packs = defaultdict(int)
+    want_waste = defaultdict(int)
+    want_over = defaultdict(int)
+    for (g, _i), tot in packs.items():
+        want_packs[g] += 1
+        want_waste[g] += max(128 - tot, 0)
+        want_over[g] += 1 if tot > 128 else 0
+
+    assert set(got) == set(want_packs)
+    for g, row in got.items():
+        assert row["n_packs"] == want_packs[g]
+        assert row["n_docs"] == docs_per_group[g]
+        assert row["total_tokens"] == toks_per_group[g]
+        assert row["waste_tokens"] == want_waste[g]
+        assert row["oversize_packs"] == want_over[g]
+        assert row["util_pct"] == round(
+            toks_per_group[g] / (want_packs[g] * 128.0), 4
+        )
+
+
+def test_pack_stats_rejects_bad_budget(spark):
+    import pytest
+
+    from sonic_etl_spark.operators.curation import pack_sequences, pack_stats
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="positive"):
+        pack_stats(pack_sequences(docs, budget=8), budget=0)
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    """sample_stratified: rate 1.0 keeps the whole stratum, 0.0 drops it,
+    fractional rates land near target, unlisted strata use default_rate,
+    and membership is invariant to partitioning."""
+    from sonic_etl_spark.operators.curation import sample_stratified
+
+    rows = [(i, ("a", "b", "c")[i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sample_stratified(
+        df, {"a": 1.0, "b": 0.0}, stratum_col="lang", default_rate=0.5
+    )
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["a"] == 1000
+    assert "b" not in by_lang
+    assert 400 <= by_lang["c"] <= 600  # 0.5 of 1000, hash-uniform
+
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sample_stratified(
+            df.repartition(11),
+            {"a": 1.0, "b": 0.0},
+            stratum_col="lang",
+            default_rate=0.5,
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    # a different seed re-rolls membership of the fractional stratum
+    reseeded = sample_stratified(
+        df, {"a": 1.0, "b": 0.0}, stratum_col="lang",
+        default_rate=0.5, seed="sample-v2",
+    )
+    ids3 = sorted(r["doc_id"] for r in reseeded.collect())
+    assert ids1 != ids3
+
+
+def test_sample_stratified_rejects_bad_rates(spark):
+    import pytest
+
+    from sonic_etl_spark.operators.curation import sample_stratified
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, lang string")
+    with pytest.raises(ValueError, match=r"rates\['a'\]"):
+        sample_stratified(df, {"a": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        sample_stratified(df, {"a": 0.5}, default_rate=-0.1)
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_stratified(df, {})
