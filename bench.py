@@ -81,13 +81,50 @@ def ensure_log(spark) -> None:
     ).parquet(LOG_DIR)
 
 
-def run_replay(cores: int) -> dict:
+def run_replay(cores: int, with_monitor: bool = False) -> dict:
     """One replay of the materialized log in a fresh JVM at local[cores].
 
     A small warmup batch runs before the timed region (codegen JIT + Python
     worker pool spin-up — costs a long-lived cluster amortizes away).
+
+    ``with_monitor`` runs the replay with the health/metrics HTTP surface
+    attached and a scraper thread hitting /healthz + /metrics twice a
+    second THROUGHOUT the timed region — the k8s-probe-under-load evidence
+    (every mid-run probe must answer 200-live), measured inside the
+    headline number so its cost is included, not estimated.
     """
     out = tempfile.mktemp(prefix="bench_replay_")
+    mon_setup = mon_kw = mon_post = mon_field = ""
+    if with_monitor:
+        mon_setup = """
+import threading, urllib.request
+from sonic_etl_spark.streaming.monitor import ReplayMonitor
+mon = ReplayMonitor(port=0).start()
+scrapes = {"n": 0, "live": True, "stop": False}
+def _scrape():
+    while not scrapes["stop"]:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{mon.port}/healthz", timeout=2) as r:
+                h = json.load(r)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{mon.port}/metrics", timeout=2) as r:
+                json.load(r)
+            scrapes["n"] += 1
+            scrapes["live"] = scrapes["live"] and (r.status == 200) and h["live"]
+        except Exception:
+            scrapes["live"] = False
+        time.sleep(0.5)
+_t = threading.Thread(target=_scrape, daemon=True); _t.start()
+"""
+        mon_kw = "monitor=mon,"
+        mon_post = """
+scrapes["stop"] = True; _t.join(timeout=3); mon.stop()
+"""
+        mon_field = (
+            '"monitor": {"scrapes": scrapes["n"],'
+            ' "all_probes_live": scrapes["live"]},'
+        )
     code = f"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -105,18 +142,21 @@ replay(warm, wtab, chunk_size=10000, validate=False)  # JITs the merge path too
 log = spark.read.parquet({LOG_DIR!r})
 tdir = tempfile.mkdtemp(prefix="bench_tab_")
 tab = TransactionalParquetTable(spark, tdir, n_buckets=64)
+{mon_setup}
 t0 = time.time()
 # validate=True is ~free since the Observation-based inline check (error
 # counts ride the merge write job); the benchmarked path is the full
 # fail-the-batch-validated replay.
 res = replay(log, tab, chunk_size={max(N_EVENTS // 16, 1)}, validate=True,
-             salt_buckets=32)
+             {mon_kw} salt_buckets=32)
 wall = time.time() - t0
+{mon_post}
 n = tab.read().count()
 shutil.rmtree(tdir, ignore_errors=True)
 json.dump({{"wall_sec": round(wall, 2),
            "events_per_sec": round(res.rows_seen / wall, 1),
            "rows": res.rows_seen, "batches": res.batches_applied,
+           {mon_field}
            "converged_rows": n}}, open({out!r}, "w"))
 """
     subprocess.run(
@@ -173,10 +213,10 @@ json.dump({{"wall_sec": round(wall, 2),
         return json.load(f)
 
 
-def best_replay(cores: int, attempts: int) -> dict:
+def best_replay(cores: int, attempts: int, with_monitor: bool = False) -> dict:
     """Best-of-N replay (sandbox I/O noise is ±50% run-to-run; peak
     throughput is the capability number the scaling rule compares)."""
-    runs = [run_replay(cores) for _ in range(attempts)]
+    runs = [run_replay(cores, with_monitor=with_monitor) for _ in range(attempts)]
     best = max(runs, key=lambda r: r["events_per_sec"])
     best["attempts"] = [r["events_per_sec"] for r in runs]
     return best
@@ -221,8 +261,10 @@ def main() -> None:
     high = 4 * low  # the north rule's N vs 4N pair
     peak = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # best-of-N for the peak too: a single attempt can read 30% under
-    # capability on this ±50%-noise host (memory/sandbox-perf-traps)
-    replay_peak = best_replay(peak, attempts)
+    # capability on this ±50%-noise host (memory/sandbox-perf-traps);
+    # the peak leg carries the live health/metrics scraper so the headline
+    # includes (and evidences) the monitored-replay configuration
+    replay_peak = best_replay(peak, attempts, with_monitor=True)
     result: dict = {"events": N_EVENTS, "peak_cores": peak, "peak": replay_peak}
     if os.environ.get("SPARK_GRAFT_BENCH_FANOUT", "1") != "0":
         result["fanout"] = best_fanout(peak, attempts)
