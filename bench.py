@@ -60,7 +60,9 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "distinct_sketch",
     "dataset_split",
+    "stratified_sample",
     "pack_sequences",
+    "pack_stats",
     "dup_clusters_star",
 ]
 
