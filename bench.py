@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pack_stats",
     "dup_clusters_star",
+    "asof_enrich",
+    "session_stats",
+    "key_skew",
 ]
 
 

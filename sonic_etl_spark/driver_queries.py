@@ -37,7 +37,9 @@ from sonic_etl_spark.operators import dedup as dedup_ops
 from sonic_etl_spark.operators import merge as merge_ops
 from sonic_etl_spark.operators import curation as curation_ops
 from sonic_etl_spark.operators import multimodal as mm_ops
+from sonic_etl_spark.operators import profile as profile_ops
 from sonic_etl_spark.operators import similarity as sim_ops
+from sonic_etl_spark.operators import temporal as temporal_ops
 from sonic_etl_spark.operators import sketch as sketch_ops
 from sonic_etl_spark.operators import text as text_ops
 
@@ -1262,6 +1264,158 @@ SQL_STRATIFIED_SAMPLE = (
 )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators.temporal.asof_join): every click
+    gets the user's most recent prior-or-simultaneous purchase — the general
+    as-of join whose "as of now" degenerate case is the reference's
+    latest-state QC join (daily_qc_airflow/row_counts.py:85-102). Spark
+    plan: union-marker + one running-frame window — ONE shuffle on user_id,
+    no range/cross join. Oracle: DuckDB's native ASOF LEFT JOIN, an
+    independent implementation of the same inclusive (>=) semantics."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = temporal_ops.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_cols=["value"], suffix="_purchase",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("click_ts_epoch"),
+        F.round(F.col("value"), 2).alias("click_value"),
+        F.round(F.col("value_purchase"), 2).alias("purchase_value"),
+        F.unix_timestamp("ts_purchase").alias("purchase_ts_epoch"),
+    )
+
+
+SQL_ASOF_ENRICH = """
+WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       c.event_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_epoch,
+       round(c.value, 2) AS click_value,
+       round(p.value, 2) AS purchase_value,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_epoch
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+_SESSION_GAP_SEC = 21600  # 6h — shared literal, Spark and SQL mirrors
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators.temporal.session_stats): per-user sessions
+    under a 6h inactivity gap, with per-session event count, span and money
+    total. Lag + running-sum share ONE window spec (single shuffle+sort;
+    Catalyst collapses the two Window nodes), then a groupBy whose keys are
+    a superset of the window key. Epochs floored to BIGINT, money as BIGINT
+    cents (cross-engine determinism rules in the module docstring)."""
+    ev = _t(spark, sf_dir, "events")
+    st = temporal_ops.session_stats(
+        ev, ["user_id"], "ts", gap_sec=_SESSION_GAP_SEC, order_cols=["event_id"],
+        extra_aggs=[_money_cents_sum("value").alias("value_cents")],
+    )
+    return st.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.unix_timestamp("start_ts").alias("start_epoch"),
+        F.unix_timestamp("end_ts").alias("end_epoch"),
+        (F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts")).alias(
+            "duration_sec"
+        ),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > {_SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), t AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       {_sql_money_cents_sum('value')} AS value_cents
+FROM t GROUP BY user_id, session_idx
+"""
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew detector (operators.profile.key_distribution): top-25
+    heaviest lineitem supplier keys with row share and skew factor — the
+    report that decides salting/broadcast before a 100 TB shuffle. Plan:
+    one partial-aggregated groupBy, 1-row totals broadcast back,
+    TakeOrderedAndProject for the top-N (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_ops.key_distribution(li, ["l_suppkey"], top_n=25)
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+     tot AS (SELECT sum(n_rows) AS t, count(*) AS g FROM counts),
+     ranked AS (
+       SELECT l_suppkey, n_rows,
+              row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rank
+       FROM counts
+     )
+SELECT l_suppkey,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / t, 6) AS share,
+       round(n_rows * g / t, 4) AS x_mean,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked, tot
+WHERE rank <= 25
+"""
+
+_HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators.profile.equi_width_histogram) of
+    events.value over observed min/max, 20 bins. The bin expression
+    ``floor((v - lo) * n / (hi - lo))`` uses one fixed association so the
+    independent SQL mirror computes bit-identical doubles; v == hi clamps
+    into the last bin."""
+    ev = _t(spark, sf_dir, "events")
+    return profile_ops.equi_width_histogram(ev, "value", n_bins=_HIST_BINS)
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+     b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+     binned AS (
+       SELECT least(CAST(floor((v - lo) * {_HIST_BINS} / (hi - lo)) AS BIGINT),
+                    {_HIST_BINS - 1}) AS bin_idx, lo, hi
+       FROM v, b
+     )
+SELECT bin_idx,
+       round(lo + bin_idx * (hi - lo) / {_HIST_BINS}, 6) AS bin_lo,
+       round(lo + (bin_idx + 1) * (hi - lo) / {_HIST_BINS}, 6) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM binned GROUP BY bin_idx, lo, hi
+"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
@@ -1493,6 +1647,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pack_stats": (q_pack_stats, SQL_PACK_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    # temporal / profiling
+    "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "key_skew": (q_key_skew, SQL_KEY_SKEW),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

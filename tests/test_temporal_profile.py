@@ -1,0 +1,161 @@
+"""operators.temporal (as-of join, sessionization) + operators.profile.
+
+Semantics pinned here (the driver gate re-checks them against DuckDB's
+native ASOF JOIN): inclusive ties, left-outer NULLs, forward direction,
+tolerance nulling, deterministic session boundaries at exact-gap edges,
+and the plan shape (one hash exchange, no cartesian/range join).
+"""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from sonic_etl_spark.operators import profile, temporal
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(5), "before-any-right"),
+            (1, _ts(10), "between"),
+            (1, _ts(25), "tie"),
+            (2, _ts(5), "after-only-right"),
+            (3, _ts(9), "key-missing-on-right"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100.0), (1, _ts(20), 200.0), (1, _ts(25), 250.0), (2, _ts(1), 300.0)],
+        "k int, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def _rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_asof_backward_inclusive_ties_and_outer_nulls(lr):
+    left, right = lr
+    out = temporal.asof_join(left, right, on="k", left_ts="ts", right_cols=["rv"])
+    # left columns preserved, payload + matched ts appended (ts collides → suffixed)
+    assert out.columns == ["k", "ts", "tag", "rv", "ts_asof"]
+    got = _rows(out, "tag", "rv")
+    assert got == {
+        ("before-any-right", None),        # no right at/before ts=5
+        ("between", 100.0),                # nearest prior is ts=8
+        ("tie", 250.0),                    # EQUAL ts matches (inclusive >=)
+        ("after-only-right", 300.0),
+        ("key-missing-on-right", None),    # left-outer
+    }
+    assert out.count() == left.count()     # never duplicates/drops left rows
+
+
+def test_asof_forward(lr):
+    left, right = lr
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="ts", right_cols=["rv"], direction="forward"
+    )
+    got = _rows(out, "tag", "rv")
+    assert got == {
+        ("before-any-right", 100.0),       # nearest following is ts=8
+        ("between", 200.0),
+        ("tie", 250.0),                    # inclusive on forward too
+        ("after-only-right", None),        # only right is BEFORE the left row
+        ("key-missing-on-right", None),
+    }
+
+
+def test_asof_tolerance_nulls_far_matches(lr):
+    left, right = lr
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="ts", right_cols=["rv"], tolerance_sec=3
+    )
+    got = _rows(out, "tag", "rv")
+    # (2, ts=5) matched ts=1 → diff 4 > 3 → nulled; tie diff 0 kept
+    assert got == {
+        ("before-any-right", None),
+        ("between", 100.0),
+        ("tie", 250.0),
+        ("after-only-right", None),
+        ("key-missing-on-right", None),
+    }
+
+
+def test_asof_rejects_ambiguous_args(lr):
+    left, right = lr
+    with pytest.raises(ValueError, match="backward|forward"):
+        temporal.asof_join(left, right, on="k", left_ts="ts", direction="nearest")
+    with pytest.raises(ValueError, match="key/ts"):
+        temporal.asof_join(left, right, on="k", left_ts="ts", right_cols=["k"])
+
+
+def test_asof_plan_one_exchange_no_cartesian(lr):
+    left, right = lr
+    out = temporal.asof_join(left, right, on="k", left_ts="ts", right_cols=["rv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # union-marker: exactly one hash exchange (the window's, on the join key)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(3600)), (1, _ts(7201)), (2, _ts(0))],
+        "u int, ts timestamp",
+    )
+    out = temporal.sessionize(ev, ["u"], "ts", gap_sec=3600)
+    by = {(r["u"], r["ts"]): r["session_idx"] for r in out.collect()}
+    assert by[(1, _ts(0))] == 1
+    assert by[(1, _ts(3600))] == 1   # gap == gap_sec → NOT a new session (strict >)
+    assert by[(1, _ts(7201))] == 2   # 3601 > 3600 → new session
+    assert by[(2, _ts(0))] == 1
+
+
+def test_session_stats_rollup(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(100), 2.0), (1, _ts(50000), 4.0)],
+        "u int, ts timestamp, v double",
+    )
+    st = temporal.session_stats(
+        ev, ["u"], "ts", gap_sec=3600,
+        extra_aggs=[F.sum(F.round(F.col("v") * 100).cast("long")).alias("cents")],
+    )
+    rows = {r["session_idx"]: r for r in st.collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["cents"] == 300
+    assert rows[1]["start_ts"] == _ts(0) and rows[1]["end_ts"] == _ts(100)
+    assert rows[2]["n_events"] == 1 and rows[2]["cents"] == 400
+
+
+def test_key_distribution(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1], "k string"
+    )
+    out = profile.key_distribution(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in out] == [("a", 6, 1), ("b", 3, 2)]
+    a = out[0]
+    assert a["share"] == 0.6 and a["x_mean"] == 1.8  # 6 / (10/3 keys-mean)
+
+
+def test_key_distribution_rank_ties_deterministic(spark):
+    df = spark.createDataFrame([(k,) for k in ["b", "a", "c", "a", "b", "c"]], "k string")
+    out = profile.key_distribution(df, ["k"], top_n=3).collect()
+    assert [r["k"] for r in out] == ["a", "b", "c"]  # equal counts → key asc
+
+
+def test_equi_width_histogram_clamps_max_and_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (None,)], "v double"
+    )
+    out = {r["bin_idx"]: r for r in profile.equi_width_histogram(df, "v", n_bins=2).collect()}
+    assert out[0]["n_rows"] == 2            # 0.0, 4.9
+    assert out[1]["n_rows"] == 3            # 5.0, 9.9, and v==hi clamped in
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 5.0
+    assert out[1]["bin_hi"] == 10.0
+    assert sum(r["n_rows"] for r in out.values()) == 5  # NULL excluded
