@@ -1416,6 +1416,28 @@ FROM binned GROUP BY bin_idx, lo, hi
 """
 
 
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentiles (operators.profile.group_percentiles): p50/p90/
+    p99 of event value per event type, DISCRETE (``percentile_disc`` picks
+    an actual input element — zero interpolation arithmetic, so the doubles
+    are bit-identical to DuckDB's ``quantile_disc``; the continuous variant
+    is NOT hash-stable and stays out of the gate)."""
+    ev = _t(spark, sf_dir, "events")
+    return profile_ops.group_percentiles(
+        ev, "value", ["event_type"], ps=(0.5, 0.9, 0.99)
+    )
+
+
+SQL_GROUP_PERCENTILES = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe LSH (4 probes over the least-confident
     planes; recall measured ≥0.9 vs brute force on clustered corpora in
@@ -1652,6 +1674,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "key_skew": (q_key_skew, SQL_KEY_SKEW),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "group_percentiles": (q_group_percentiles, SQL_GROUP_PERCENTILES),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

@@ -64,6 +64,41 @@ def key_distribution(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group percentiles: (group..., n_rows, p50, p90, p99, ...).
+
+    DISCRETE percentiles (``percentile_disc``: smallest element whose
+    cumulative distribution ≥ p) — the result is an actual element of the
+    input, so there is NO interpolation arithmetic to diverge across
+    engines (DuckDB's ``quantile_disc`` verified to agree on every probe;
+    the continuous/interpolated variants differ in last-ulp association and
+    are not hash-stable).
+
+    Exact mode buffers each group's values in the aggregate (memory ∝ group
+    size) — fine for bounded groups (per-tenant, per-day); for unbounded
+    groups pass ``approx=True`` to use ``percentile_approx`` (bounded
+    KLL-style sketch, rank error ≤ 1/accuracy — NOT cross-engine
+    deterministic, so no oracle gate covers it).
+    """
+    group_cols = list(group_cols)
+    fn = "percentile_approx" if approx else "percentile_disc"
+    aggs = [F.count("*").alias("n_rows")]
+    for p in ps:
+        name = ("p" + f"{p * 100:g}").replace(".", "_")
+        if approx:
+            expr = f"percentile_approx({value_col}, {p!r})"
+        else:
+            expr = f"{fn}({p!r}) WITHIN GROUP (ORDER BY {value_col})"
+        aggs.append(F.expr(expr).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def equi_width_histogram(
     df: DataFrame,
     col: str,

@@ -62,6 +62,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_sec: float | None = None,
     suffix: str = "_asof",
+    bucket_sec: float | None = None,
 ) -> DataFrame:
     """Point-in-time LEFT join: each left row gets the single right row with
     the nearest ``right_ts <= left_ts`` (direction='backward') or
@@ -85,6 +86,18 @@ def asof_join(
     nondeterministic across runs. Dedupe first (e.g. ``salted_lww``).
     NULL ``left_ts`` rows never match (sorted first under ASC NULLS FIRST,
     before any right row).
+
+    ``bucket_sec`` (backward only): the hot-key escape hatch. The default
+    plan's window serializes each key into one task — correct, streaming,
+    but a key holding 10^9 rows runs on one core. With ``bucket_sec`` set,
+    the running scan is decomposed as a parallel prefix scan over time
+    buckets: (1) within-(key, bucket) running last — hot key split across
+    buckets, parallel; (2) per-bucket last RIGHT payload, rolled forward
+    per key over the (small) bucket spine; (3) each left row coalesces its
+    within-bucket match with the carry-in from strictly-earlier buckets.
+    Identical results (asserted by test); costs ~2 extra shuffles of
+    bucket-level frames, so use it only when ``key_distribution`` says a
+    key is hot relative to bucket granularity.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -116,15 +129,22 @@ def asof_join(
     lf = left.withColumn("_asof_side", F.lit(1))
     u = lf.unionByName(r, allowMissingColumns=True)
 
-    # at equal ts the right row (side 0) sorts BEFORE the left row, so it is
-    # inside the running frame → inclusive (>= / <=) tie semantics
-    ts_order = F.col(left_ts).asc() if direction == "backward" else F.col(left_ts).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("_asof_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn("_asof_m", F.last("_asof_payload", ignorenulls=True).over(w))
+    if bucket_sec is not None:
+        if direction != "backward":
+            raise ValueError("bucket_sec is only supported with direction='backward'")
+        u = _bucketed_backward_scan(u, on, left_ts, float(bucket_sec))
+    else:
+        # at equal ts the right row (side 0) sorts BEFORE the left row, so it
+        # is inside the running frame → inclusive (>= / <=) tie semantics
+        ts_order = (
+            F.col(left_ts).asc() if direction == "backward" else F.col(left_ts).desc()
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col("_asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_asof_m", F.last("_asof_payload", ignorenulls=True).over(w))
     u = u.where(F.col("_asof_side") == 1)
 
     if tolerance_sec is not None:
@@ -139,6 +159,69 @@ def asof_join(
     sel += [F.col("_asof_m")[out_names[c]].alias(out_names[c]) for c in right_cols]
     sel.append(F.col("_asof_m")[_TS_FIELD].alias(ts_out))
     return u.select(*sel)
+
+
+def _bucketed_backward_scan(
+    u: DataFrame, on: list[str], ts_col: str, bucket_sec: float
+) -> DataFrame:
+    """Parallel prefix-scan decomposition of the backward running-last scan
+    (the Blelloch two-phase scan, expressed in DataFrame ops):
+
+    1. within-(key, time-bucket) running last — a hot key's rows split
+       across buckets, so the serial unit shrinks from "all rows of the
+       key" to "rows of the key within one bucket";
+    2. bucket summaries: last RIGHT payload per (key, bucket), rolled
+       forward per key over the bucket spine (a frame with one row per
+       non-empty bucket — the only remaining per-key serial scan, O(time
+       span / bucket_sec), independent of row count);
+    3. each row's match = within-bucket running last, else the carry from
+       strictly-earlier buckets.
+
+    NULL-ts rows land in a sentinel bucket that sorts before all real
+    buckets and contains no right rows → NULL match, same as the default
+    plan. Caveat: join keys must be non-NULL in bucketed mode (the carry
+    join is a plain equi-join).
+    """
+    # sentinel keeps the bucket non-NULL so the carry equi-join never drops
+    sentinel = -(1 << 62)
+    u = u.withColumn(
+        "_asof_bkt",
+        F.coalesce(
+            F.floor(_epoch_sec(F.col(ts_col)) / bucket_sec), F.lit(sentinel)
+        ),
+    )
+    w_in = (
+        Window.partitionBy(*on, "_asof_bkt")
+        .orderBy(F.col(ts_col).asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn(
+        "_asof_within", F.last("_asof_payload", ignorenulls=True).over(w_in)
+    )
+    # last right payload per (key, bucket) — right is unique per (key, ts)
+    bucket_last = (
+        u.where(F.col("_asof_side") == 0)
+        .groupBy(*on, "_asof_bkt")
+        .agg(F.max_by("_asof_payload", F.col(ts_col)).alias("_asof_bkt_last"))
+    )
+    spine = u.select(*on, "_asof_bkt").distinct()
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly-earlier buckets
+    )
+    carry = (
+        spine.join(bucket_last, on=[*on, "_asof_bkt"], how="left")
+        .withColumn(
+            "_asof_carry", F.last("_asof_bkt_last", ignorenulls=True).over(w_carry)
+        )
+        .select(*on, "_asof_bkt", "_asof_carry")
+    )
+    return (
+        u.join(carry, on=[*on, "_asof_bkt"], how="left")
+        .withColumn("_asof_m", F.coalesce("_asof_within", "_asof_carry"))
+        .drop("_asof_bkt", "_asof_within", "_asof_carry")
+    )
 
 
 def sessionize(

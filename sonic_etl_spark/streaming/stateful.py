@@ -9,6 +9,10 @@ watermarks) but that a production tail of the same log would use:
   event-time windows with a watermark bounding late data (the streaming
   upgrade of the reference's half-hour GCS bucketing, gcs.rs:99-115, and its
   hourly liveness window, mainnet_hourly_block_check.py:33-47).
+- ``stream_session_windows`` — per-repo gap-closed SESSION windows
+  (``F.session_window`` + watermark), the streaming counterpart of
+  ``operators.temporal.sessionize`` (pytest asserts they agree on the same
+  log).
 - ``stream_repo_progress`` — custom stateful operator: per-repo running
   (change_count, max_offset, distinct_path_estimate) maintained with
   ``applyInPandasWithState`` — the analog of the reference worker's
@@ -81,6 +85,57 @@ def stream_activity_windows(
             "repo",
             "n_changes",
             "n_deletes",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    log_dir: str,
+    *,
+    checkpoint_dir: str,
+    queryName: str = "session_windows",
+    watermark: str = "1 hour",
+    gap: str = "30 minutes",
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-repo SESSION windows (dynamic-length, gap-closed) with a
+    late-data watermark — the streaming counterpart of
+    ``operators.temporal.sessionize`` for the change-log tail: a burst of
+    commits to one repo is one session; ``gap`` of silence closes it.
+
+    Uses the built-in ``F.session_window`` state store (merging windows
+    across triggers survives restarts via the checkpoint). Append mode: a
+    session emits once the watermark passes its end (last event + gap).
+    Boundary semantics vs the batch operator: the batch ``sessionize``
+    keeps an exact-gap event in the same session (strict >) while the
+    session window's half-open [start, last+gap) excludes it — identical
+    for continuous-time data, differing only on exact-gap collisions.
+    Results land in an in-memory sink table named ``queryName``.
+    """
+    agg = (
+        _log_stream(spark, log_dir, max_files_per_trigger)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "repo",
+            F.unix_timestamp("first_ts").alias("session_start_epoch"),
+            F.unix_timestamp("w.end").alias("session_close_epoch"),
+            "n_changes",
         )
     )
     writer = (

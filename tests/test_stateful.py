@@ -133,3 +133,42 @@ def test_kmv_sketch_accuracy_and_bounded_state():
     assert abs(est - n) / n < 0.10, f"KMV estimate {est} vs true {n}"
     assert len(state.get[2]) <= st.PROGRESS_SKETCH_K  # bounded state
     assert out["change_count"][0] == n
+
+
+def test_session_windows_match_batch_sessionize(spark, tmp_path, log_dir):
+    from sonic_etl_spark.operators.temporal import session_stats
+    from sonic_etl_spark.streaming.stateful import stream_session_windows
+
+    q = stream_session_windows(
+        spark, log_dir,
+        checkpoint_dir=str(tmp_path / "c3"),
+        queryName="sw_test",
+        # log spans ~2.5h: a tight watermark+gap closes most sessions so
+        # append mode actually emits them (1h watermark closed only ~27%)
+        watermark="10 minutes",
+        gap="5 minutes",
+        max_files_per_trigger=2,  # sessions must merge across triggers
+    )
+    q.awaitTermination()
+    got = {
+        (r["repo"], r["session_start_epoch"]): r["n_changes"]
+        for r in spark.sql("SELECT * FROM sw_test").collect()
+    }
+    want = {
+        (r["repo"], r["start_epoch"]): r["n_events"]
+        for r in session_stats(
+            spark.read.parquet(log_dir), ["repo"], "ts",
+            gap_sec=300, order_cols=["offset"],
+        )
+        .select(
+            "repo",
+            F.unix_timestamp("start_ts").alias("start_epoch"),
+            "n_events",
+        )
+        .collect()
+    }
+    # append mode emits only watermark-closed sessions → subset equality;
+    # every emitted session must agree with the batch operator exactly
+    assert got
+    assert all(got[k] == want[k] for k in got)
+    assert len(got) >= len(want) * 0.5

@@ -159,3 +159,54 @@ def test_equi_width_histogram_clamps_max_and_skips_nulls(spark):
     assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 5.0
     assert out[1]["bin_hi"] == 10.0
     assert sum(r["n_rows"] for r in out.values()) == 5  # NULL excluded
+
+
+def test_group_percentiles_discrete_and_approx(spark):
+    import itertools
+    rows = [(g, float(v)) for g, v in itertools.product(["a", "b"], range(1, 12))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in profile.group_percentiles(df, "v", ["g"]).collect()}
+    for g in ("a", "b"):
+        assert out[g]["n_rows"] == 11
+        # discrete: smallest element with cume_dist >= p (actual elements)
+        assert out[g]["p50"] == 6.0 and out[g]["p90"] == 10.0 and out[g]["p99"] == 11.0
+    ap = profile.group_percentiles(df, "v", ["g"], approx=True).collect()[0]
+    assert ap["p50"] in (5.0, 6.0)  # sketch: rank-bounded, not pinned
+
+
+def test_asof_bucketed_equals_default_plan(spark):
+    # randomized-but-seeded workload incl. a hot key, empty buckets, a
+    # key with no right rows, and left rows before any right
+    import random
+    rng = random.Random(7)
+    left = [(k, _ts(rng.randrange(0, 5000)), rng.random())
+            for k in (1, 1, 1, 2, 3) for _ in range(40)]
+    right = [(k, _ts(t), float(t))
+             for k in (1, 2) for t in rng.sample(range(0, 5000), 60)]
+    ldf = spark.createDataFrame(left, "k int, ts timestamp, lv double")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, rv double").dropDuplicates(["k", "ts"])
+    base = temporal.asof_join(ldf, rdf, on="k", left_ts="ts", right_cols=["rv"])
+    bucketed = temporal.asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_cols=["rv"], bucket_sec=600
+    )
+    assert bucketed.columns == base.columns
+    assert base.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(base).count() == 0
+    with pytest.raises(ValueError, match="backward"):
+        temporal.asof_join(ldf, rdf, on="k", left_ts="ts",
+                           direction="forward", bucket_sec=600)
+
+
+def test_asof_bucketed_tolerance_and_null_ts(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "near"), (1, _ts(2000), "far"), (1, None, "null-ts")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame([(1, _ts(5), 50.0)], "k int, ts timestamp, rv double")
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="ts", right_cols=["rv"],
+        bucket_sec=60, tolerance_sec=30,
+    )
+    got = {r["tag"]: r["rv"] for r in out.collect()}
+    assert got == {"near": 50.0, "far": None, "null-ts": None}
+    assert out.count() == 3
