@@ -416,12 +416,17 @@ class TransactionalTableSet:
         name: str,
         add: list[tuple[str, str]] | None = None,
         rename: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+        drop: list[str] | None = None,
     ) -> dict:
         """Schema-only snapshot for ONE table of the set (field-id semantics
-        identical to TransactionalParquetTable.evolve): existing files are
-        untouched; readers map them by field id. Other tables are unaffected
-        — but the commit is still one atomic pointer flip of the shared log.
+        identical to TransactionalParquetTable.evolve, incl. lossless
+        ``widen`` and id-retiring ``drop``): existing files are untouched;
+        readers map them by field id. Other tables are unaffected — but the
+        commit is still one atomic pointer flip of the shared log.
         """
+        from sonic_etl_spark.sources.table import _WIDEN_OK, _norm_type
+
         parent = self.latest()
         if parent is None or name not in parent["tables"]:
             raise FileNotFoundError(f"table {name} not in set {self.path}")
@@ -431,12 +436,35 @@ class TransactionalTableSet:
             s for s in tbl["schemas"] if s["schema_id"] == tbl["current_schema_id"]
         )
         fields = [dict(f) for f in cur["fields"]]
+        protected = (
+            set(tbl["key_cols"]) | set(tbl["order_cols"]) | set(tbl["bucket_cols"])
+        )
+        for cname in drop or []:
+            hit = [f for f in fields if f["name"] == cname]
+            if not hit:
+                raise KeyError(f"drop: no column {cname!r} in {name}")
+            if cname in protected:
+                raise ValueError(f"drop: {cname!r} is a key/order/bucket column")
+            fields.remove(hit[0])
         for old, new in (rename or {}).items():
             hit = [f for f in fields if f["name"] == old]
             if not hit:
                 raise KeyError(f"rename: no column {old!r} in {name}")
             hit[0]["name"] = new
-        next_id = max((f["id"] for f in fields), default=-1) + 1
+        for cname, new_type in (widen or {}).items():
+            hit = [f for f in fields if f["name"] == cname]
+            if not hit:
+                raise KeyError(f"widen: no column {cname!r} in {name}")
+            pair = (_norm_type(hit[0]["type"]), _norm_type(new_type))
+            if pair not in _WIDEN_OK:
+                raise ValueError(
+                    f"widen: {hit[0]['type']} -> {new_type} is not a "
+                    f"lossless promotion (allowed: {sorted(_WIDEN_OK)})"
+                )
+            hit[0]["type"] = new_type
+        # ids are retired forever: max over ALL schemas, never just current
+        all_ids = [f["id"] for sch in tbl["schemas"] for f in sch["fields"]]
+        next_id = max(all_ids, default=-1) + 1
         for cname, typ in add or []:
             if any(f["name"] == cname for f in fields):
                 raise KeyError(f"add: column {cname!r} exists in {name}")
@@ -462,7 +490,13 @@ class TransactionalTableSet:
             "tables": tbls,
             "manifests": parent["manifests"],
             "metrics": {
-                "evolution": {"table": name, "add": add or [], "rename": rename or {}}
+                "evolution": {
+                    "table": name,
+                    "add": add or [],
+                    "rename": rename or {},
+                    "widen": widen or {},
+                    "drop": drop or [],
+                }
             },
             "committed_at": time.time(),
         }

@@ -153,6 +153,19 @@ def _expire_snapshots_impl(
     }
 
 
+# lossless type promotions (Iceberg evolution rule): widening only — a
+# narrowing or int→float would corrupt order/key comparisons on old rows
+_TYPE_ALIASES = {"long": "bigint", "integer": "int", "real": "float"}
+
+
+def _norm_type(t: str) -> str:
+    t = t.strip().lower()
+    return _TYPE_ALIASES.get(t, t)
+
+
+_WIDEN_OK = {("int", "bigint"), ("float", "double")}
+
+
 class CommitConflict(Exception):
     """Another writer advanced the table between our read and our commit."""
 
@@ -719,22 +732,59 @@ class TransactionalParquetTable:
         self,
         add: list[tuple[str, str]] | None = None,
         rename: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+        drop: list[str] | None = None,
     ) -> dict:
-        """Schema-only snapshot: add columns and/or rename by field id.
+        """Schema-only snapshot: add / rename / widen / drop by field id.
 
         Existing data files are untouched; the reader maps them to the new
         schema by field id (Iceberg semantics). The reference's analog is
         manual proto field reservation (schemas/proto/blocks.proto:144-146).
+
+        ``widen``: {column: new_type} — only LOSSLESS promotions
+        (int→bigint, float→double, Iceberg's rule); old files cast up on
+        read via the field-id projection, new files are written wide.
+        ``drop``: columns disappear from reads and writes but the field id
+        is retired FOREVER — fresh ids come from the max across ALL
+        historical schemas, never just the current one, so a later add
+        reusing the name can never resurrect the dropped column's bytes
+        from old files (Iceberg's no-id-reuse rule). Key/order columns
+        cannot be dropped.
         """
         parent = self.latest()
         cur = self._current_schema(parent)
         fields = [dict(f) for f in cur["fields"]]
+        protected = set(parent["key_cols"]) | set(parent["order_cols"])
+        for name in drop or []:
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise KeyError(f"drop: no column {name!r}")
+            if name in protected:
+                raise ValueError(f"drop: {name!r} is a key/order column")
+            fields.remove(hit[0])
         for old, new in (rename or {}).items():
             hit = [f for f in fields if f["name"] == old]
             if not hit:
                 raise KeyError(f"rename: no column {old!r}")
             hit[0]["name"] = new
-        next_id = max(f["id"] for f in fields) + 1 if fields else 0
+        for name, new_type in (widen or {}).items():
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise KeyError(f"widen: no column {name!r}")
+            pair = (_norm_type(hit[0]["type"]), _norm_type(new_type))
+            if pair not in _WIDEN_OK:
+                raise ValueError(
+                    f"widen: {hit[0]['type']} -> {new_type} is not a "
+                    f"lossless promotion (allowed: {sorted(_WIDEN_OK)})"
+                )
+            hit[0]["type"] = new_type
+        # fresh ids come from ALL schemas ever committed: after a drop the
+        # current max can shrink, and reusing a retired id would resurrect
+        # the dropped column's data from old files
+        all_ids = [
+            f["id"] for sch in parent["schemas"] for f in sch["fields"]
+        ]
+        next_id = max(all_ids) + 1 if all_ids else 0
         for name, typ in add or []:
             if any(f["name"] == name for f in fields):
                 raise KeyError(f"add: column {name!r} exists")
@@ -755,7 +805,14 @@ class TransactionalParquetTable:
             "order_cols": remap(parent["order_cols"]),
             "buckets": parent["buckets"],
             "manifests": parent["manifests"],
-            "metrics": {"evolution": {"add": add or [], "rename": rename or {}}},
+            "metrics": {
+                "evolution": {
+                    "add": add or [],
+                    "rename": rename or {},
+                    "widen": widen or {},
+                    "drop": drop or [],
+                }
+            },
             "committed_at": time.time(),
         }
         self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])

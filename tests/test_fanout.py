@@ -317,3 +317,29 @@ def test_fanout_inline_retention_preserves_state(spark, tmp_path, log_df, oracle
     sid = ts.latest()["snapshot_id"]
     replay_fanout(log_df, ts, chunk_size=500, on_error="quarantine")
     assert ts.latest()["snapshot_id"] == sid  # manifests survive retention
+
+
+def test_tableset_widen_and_drop_mid_stream(spark, tmp_path, log_df):
+    """Widen + drop on one fan-out table mid-replay: lossless promotion
+    applies to old files on read; the dropped column's field id is retired
+    (re-add reads NULL over old files, fills from the producer after);
+    sibling tables unaffected."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f8"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  max_batches=1)
+    ts.evolve("source_code", widen={"last_partition_id": "bigint"},
+              drop=["lang"])
+    sc = ts.read("source_code")
+    assert dict(sc.dtypes)["last_partition_id"] == "bigint"
+    assert "lang" not in sc.columns
+    # re-add under a fresh id, resume the replay: producer 'lang' routes to
+    # the NEW id, so post-evolution winners carry it while old bytes stay dead
+    ts.evolve("source_code", add=[("lang", "string")])
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    sc = ts.read("source_code")
+    assert sc.where("lang IS NOT NULL").count() > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key/order/bucket"):
+        ts.evolve("source_code", drop=["repo"])
+    with _pytest.raises(ValueError, match="lossless"):
+        ts.evolve("source_code", widen={"content": "int"})

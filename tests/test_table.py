@@ -420,3 +420,54 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
         k: v for k, (order, v, kind) in model.items() if kind != "delete"
     }
     assert got == want
+
+
+def test_schema_evolution_widen_and_drop(spark, tmp_path):
+    """Iceberg-style widen (lossless promotions only) + drop (field id
+    retired forever — re-adding the name must NOT resurrect old bytes)."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]),
+              [(0, 0, 0)], KEYS, ORDER)
+
+    # widen int -> bigint: old files cast up on read, new writer goes wide
+    tab.evolve(widen={"last_partition_id": "bigint"})
+    assert dict(tab.read().dtypes)["last_partition_id"] == "bigint"
+    wide = spark.createDataFrame(
+        [("r", "a", "c2" * 20, "v2", "upsert", 2, 1 << 40)],
+        "repo string, path string, commit string, content string, op string,"
+        " last_offset bigint, last_partition_id bigint",
+    )
+    tab.merge(wide, [(0, 1, 1)], KEYS, ORDER)
+    row = tab.read().first()
+    assert row["last_partition_id"] == 1 << 40 and row["content"] == "v2"
+
+    # narrowing / lossy promotions refused; key/order columns undropppable
+    with pytest.raises(ValueError, match="lossless"):
+        tab.evolve(widen={"last_offset": "int"})
+    with pytest.raises(ValueError, match="key/order"):
+        tab.evolve(drop=["repo"])
+    with pytest.raises(KeyError):
+        tab.evolve(drop=["nope"])
+
+    # drop then re-add the same NAME: fresh field id, old data stays dead
+    old_id = next(
+        f["id"] for f in tab.latest()["schemas"][-1]["fields"]
+        if f["name"] == "content"
+    )
+    tab.evolve(drop=["content"])
+    assert "content" not in tab.read().columns
+    tab.evolve(add=[("content", "string")])
+    new_id = next(
+        f["id"] for f in tab.latest()["schemas"][-1]["fields"]
+        if f["name"] == "content"
+    )
+    assert new_id != old_id  # retired id never reused
+    row = tab.read().first()
+    assert row["content"] is None          # v2 bytes NOT resurrected
+    assert row["last_partition_id"] == 1 << 40  # rest of the row intact
+
+    # a post-re-add writer fills the new column for new winners only
+    tab.merge(_df(spark, [("r", "a", "c3" * 20, "v3", "upsert", 9, 0)]),
+              [(0, 2, 2)], KEYS, ORDER)
+    assert tab.read().first()["content"] == "v3"
