@@ -1416,6 +1416,101 @@ FROM binned GROUP BY bin_idx, lo, hi
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators.text.redact_pii): URLs → emails → IPs, staged
+    counts attributed to exactly one class. The synthetic corpus carries no
+    PII, so both engines PLANT it identically as a pure function of doc_id
+    (every 3rd doc gets an email+URL, every 5th an IP — overlapping classes
+    exercise the staged ordering); the oracle replays the same regexes in
+    RE2 (patterns written in the Java∩RE2 subset). Redacted text compared
+    by md5."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), sid,
+                    F.lit("@example.com via https://ex.com/u/"), sid,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = text_ops.redact_pii(planted)
+    return out.select(
+        "doc_id", "n_urls", "n_emails", "n_ips",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+SQL_REDACT_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via https://ex.com/u/'
+                        || CAST(doc_id AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1' ELSE '' END
+           AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{text_ops.PII_URL}')) AS BIGINT) AS n_urls,
+         regexp_replace(text, '{text_ops.PII_URL}', '<URL>', 'g') AS t1
+  FROM planted),
+s2 AS (
+  SELECT doc_id, n_urls,
+         CAST(len(regexp_extract_all(t1, '{text_ops.PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(t1, '{text_ops.PII_EMAIL}', '<EMAIL>', 'g') AS t2
+  FROM s1)
+SELECT doc_id, n_urls, n_emails,
+       CAST(len(regexp_extract_all(t2, '{text_ops.PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(t2, '{text_ops.PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM s2
+"""
+
+_CONTAIN_N = 5  # word n-gram width shared by Spark and the SQL mirror
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators.text.ngram_containment):
+    per-document fraction of distinct word 5-grams present anywhere in the
+    probe set (docs 0-9 standing in for a held-out eval suite). Probe
+    n-gram hashes broadcast; the corpus is never shuffled by n-gram."""
+    d = _t(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") < 10)
+    return text_ops.ngram_containment(d, probe, n=_CONTAIN_N)
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - {_CONTAIN_N - 1} + 1),
+           i -> substr(md5(array_to_string(w[i:i + {_CONTAIN_N - 1}], ' ')), 1, 15)
+         ))) AS gram
+  FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+  WHERE len(w) >= {_CONTAIN_N}),
+p AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+j AS (
+  SELECT g.doc_id, CASE WHEN p.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM g LEFT JOIN p USING (gram))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(hit) AS BIGINT) AS n_matched,
+       round(CAST(sum(hit) AS BIGINT) / CAST(count(*) AS BIGINT), 4) AS containment
+FROM j GROUP BY doc_id
+"""
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group percentiles (operators.profile.group_percentiles): p50/p90/
     p99 of event value per event type, DISCRETE (``percentile_disc`` picks
@@ -1675,6 +1770,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "key_skew": (q_key_skew, SQL_KEY_SKEW),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "group_percentiles": (q_group_percentiles, SQL_GROUP_PERCENTILES),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
     # rows-only (non-SQL-expressible: media codec stages)

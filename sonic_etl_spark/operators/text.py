@@ -204,3 +204,94 @@ def winnow_overlap_pairs(
     if top_k is not None:
         pairs = pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(top_k)
     return pairs
+
+
+# PII redaction patterns — deliberately conservative, and written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB) so the oracle replays
+# the exact same semantics. Order matters and is part of the contract:
+# URL → EMAIL → IP (an email inside a URL is redacted once, as a URL).
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub URLs, emails and IPv4s (training-corpus decontamination step):
+    adds ``text_redacted`` + per-class match counts (BIGINT).
+
+    Counts are taken on the text AS EACH STAGE SEES IT (URL count on the
+    original, email count on the URL-redacted text, ...), so overlapping
+    matches are attributed to exactly one class. Narrow map, no UDF; each
+    staged regex is referenced from one projection (whole-stage CSE
+    evaluates it once per row).
+    """
+    t0 = F.col(text_col)
+    st1 = df.select(
+        "*",
+        F.size(F.regexp_extract_all(t0, F.lit(PII_URL), 0)).cast("long").alias("n_urls"),
+        F.regexp_replace(t0, PII_URL, "<URL>").alias("_t1"),
+    )
+    st2 = st1.select(
+        "*",
+        F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.regexp_replace(F.col("_t1"), PII_EMAIL, "<EMAIL>").alias("_t2"),
+    )
+    return st2.select(
+        "*",
+        F.size(F.regexp_extract_all(F.col("_t2"), F.lit(PII_IP), 0)).cast("long").alias("n_ips"),
+        F.regexp_replace(F.col("_t2"), PII_IP, "<IP>").alias("text_redacted"),
+    ).drop("_t1", "_t2")
+
+
+def ngram_containment(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    distinct word ``n``-grams that appear ANYWHERE in the probe corpus
+    (the held-out eval set). Output: (id, n_ngrams, n_matched, containment
+    [round 4]); documents shorter than ``n`` words are excluded.
+
+    Scale shape: the probe set is eval-suite sized (≪ corpus), so its
+    distinct n-gram hashes BROADCAST; the corpus side is one explode +
+    broadcast-hash semi-probe + one groupBy(id) — the corpus is never
+    shuffled by n-gram. N-grams join on 15-hex md5 prefixes (portable to
+    the SQL oracle; 60-bit collisions are noise at eval-set scale).
+    """
+    def grams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        w = words(F.col(text_col))
+        staged = frame.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.when(F.size(w) >= n, w).alias("_w"),
+        ).where(F.col("_w").isNotNull())
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_w")) - (n - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))), 1, 15
+            ),
+        )
+        cols = ([F.col(id_col)] if keep_id else []) + [
+            F.explode(F.array_distinct(g)).alias("gram")
+        ]
+        return staged.select(*cols)
+
+    probe_grams = grams(probe, keep_id=False).distinct()
+    doc_grams = grams(df, keep_id=True)
+    hit = F.broadcast(probe_grams.withColumn("_hit", F.lit(1)))
+    joined = doc_grams.join(hit, "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 4).alias("containment"),
+        )
+    )

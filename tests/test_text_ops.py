@@ -392,3 +392,45 @@ def test_sample_stratified_rejects_bad_rates(spark):
         sample_stratified(df, {"a": 0.5}, default_rate=-0.1)
     with pytest.raises(ValueError, match="non-empty"):
         sample_stratified(df, {})
+
+
+def test_redact_pii_staged_attribution(spark):
+    from sonic_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and https://x.io/a@b.com plus 10.0.0.1 end"),
+            (2, "clean text only"),
+            (3, "two mails a@b.co b@c.io"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    # the email inside the URL is consumed by the URL stage — counted ONCE
+    assert (r1["n_urls"], r1["n_emails"], r1["n_ips"]) == (1, 1, 1)
+    assert r1["text_redacted"] == "mail <EMAIL> and <URL> plus <IP> end"
+    assert out[2]["text_redacted"] == "clean text only"
+    assert (out[2]["n_urls"], out[2]["n_emails"], out[2]["n_ips"]) == (0, 0, 0)
+    assert out[3]["n_emails"] == 2
+
+
+def test_ngram_containment_bounds(spark):
+    from sonic_etl_spark.operators.text import ngram_containment
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # probe member
+            (1, "a b c d e z"),        # shares 2-of-3 3-grams with probe
+            (2, "q r s t u v"),        # disjoint
+            (3, "x y"),                # shorter than n — excluded
+        ],
+        "doc_id int, text string",
+    )
+    probe = docs.where("doc_id = 0")
+    out = {r["doc_id"]: r for r in ngram_containment(docs, probe, n=3).collect()}
+    assert 3 not in out                       # too short: no row
+    assert out[0]["containment"] == 1.0        # probe member fully contained
+    assert out[2]["containment"] == 0.0
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_matched"] == 3
+    assert out[1]["containment"] == 0.75
