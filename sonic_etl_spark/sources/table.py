@@ -408,6 +408,56 @@ class TransactionalParquetTable:
             df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
 
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by wall clock: the converged state as of the latest
+        snapshot committed at or before ``ts`` (epoch seconds). Bounded by
+        the retention horizon (:meth:`expire_snapshots`); raises if no
+        retained snapshot is old enough. Snapshot-id time travel is
+        ``read(snapshot(id))`` — this is the timestamp spelling (Iceberg's
+        ``as-of-timestamp``)."""
+        eligible = [
+            s for s in self.history() if s.get("committed_at", 0.0) <= ts
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no retained snapshot at or before ts={ts} "
+                f"(retention horizon may have expired it)"
+            )
+        return self.read(eligible[-1])
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Restore the table to a historical snapshot's state by committing
+        a NEW snapshot that carries the old file/manifest lists (Iceberg
+        rollback semantics: history moves forward, bytes move back).
+
+        The rolled-back commits' manifest ranges leave the committed set,
+        so a replay resumes exactly from the restored frontier and
+        re-applies what was undone — rollback + replay converges to the
+        same state hash as never rolling back (pytest-asserted). The target
+        must still be retained (within the expiry horizon)."""
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        if snapshot_id == parent["snapshot_id"]:
+            return {"status": "noop", "snapshot_id": snapshot_id}
+        target = self.snapshot(snapshot_id)  # FileNotFoundError if expired
+        snap = {
+            **{k: target[k] for k in (
+                "schemas", "current_schema_id", "n_buckets",
+                "key_cols", "order_cols", "buckets", "manifests",
+            )},
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "metrics": {"rollback": {"restored_snapshot_id": snapshot_id}},
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {
+            "status": "rolled_back",
+            "snapshot_id": snap["snapshot_id"],
+            "restored_snapshot_id": snapshot_id,
+        }
+
     @staticmethod
     def _file_set(snap: dict) -> dict[str, int]:
         return {

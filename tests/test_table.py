@@ -471,3 +471,49 @@ def test_schema_evolution_widen_and_drop(spark, tmp_path):
     tab.merge(_df(spark, [("r", "a", "c3" * 20, "v3", "upsert", 9, 0)]),
               [(0, 2, 2)], KEYS, ORDER)
     assert tab.read().first()["content"] == "v3"
+
+
+def test_rollback_and_read_asof(spark, tmp_path):
+    """Iceberg-style rollback: history moves forward, bytes move back, and
+    the undone manifest ranges leave the committed set so replay re-applies
+    them; read_asof = timestamp-spelled time travel."""
+    import time as _time
+
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    u1 = _df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)])
+    u2 = _df(spark, [("r", "a", "c2" * 20, "v2", "upsert", 5, 0)])
+    tab.merge(u1, [(0, 0, 9)], KEYS, ORDER)
+    sid1 = tab.latest()["snapshot_id"]
+    s1 = _state(tab)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    tab.merge(u2, [(0, 10, 19)], KEYS, ORDER)
+    s2 = _state(tab)
+    assert s1 != s2
+
+    # timestamp time travel reads the pre-u2 state
+    asof = {
+        (r["repo"], r["path"]): (r["commit"], r["content"], r["last_offset"])
+        for r in tab.read_asof(t1).collect()
+    }
+    assert asof == s1
+
+    # rollback: state back, manifest range uncommitted, history forward
+    res = tab.rollback(sid1)
+    assert res["status"] == "rolled_back"
+    assert _state(tab) == s1
+    assert not tab.is_committed(0, 10, 19)
+    assert tab.latest()["snapshot_id"] > sid1
+    assert tab.rollback(tab.latest()["snapshot_id"])["status"] == "noop"
+
+    # replaying the undone batch reconverges to the original final state
+    tab.merge(u2, [(0, 10, 19)], KEYS, ORDER)
+    assert _state(tab) == s2
+
+    # beyond the retention horizon both spellings refuse
+    tab.expire_snapshots(keep_last=1, min_age_sec=0.0)
+    with pytest.raises(FileNotFoundError):
+        tab.rollback(sid1)
+    with pytest.raises(FileNotFoundError):
+        tab.read_asof(0.0)
