@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "asof_enrich",
     "session_stats",
     "key_skew",
+    "group_percentiles",
+    "redact_pii",
+    "ngram_containment",
 ]
 
 
