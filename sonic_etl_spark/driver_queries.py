@@ -1305,6 +1305,34 @@ SELECT c.user_id,
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
+def q_asof_enrich_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time join through the hot-key physical plan
+    (``bucket_sec``: parallel prefix scan over day buckets) — value-gated
+    against the identical DuckDB ASOF oracle, so BOTH plans are
+    driver-verified, not just pytest-equal. tools/bench_asof_skew.py
+    measures the regime this plan exists for (2.5-7.3× on a single hot
+    key, linear-vs-flat divergence)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = temporal_ops.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_cols=["value"], suffix="_purchase", bucket_sec=86400.0,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("click_ts_epoch"),
+        F.round(F.col("value"), 2).alias("click_value"),
+        F.round(F.col("value_purchase"), 2).alias("purchase_value"),
+        F.unix_timestamp("ts_purchase").alias("purchase_ts_epoch"),
+    )
+
+
 _SESSION_GAP_SEC = 21600  # 6h — shared literal, Spark and SQL mirrors
 
 
@@ -1766,6 +1794,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # temporal / profiling
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
+    "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "key_skew": (q_key_skew, SQL_KEY_SKEW),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
