@@ -165,6 +165,10 @@ def _norm_type(t: str) -> str:
 
 _WIDEN_OK = {("int", "bigint"), ("float", "double")}
 
+# column types eligible for per-file zone-map stats (JSON-safe, totally
+# ordered; timestamps/strings are excluded to keep manifest stats portable)
+_STATS_TYPES = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+
 
 class CommitConflict(Exception):
     """Another writer advanced the table between our read and our commit."""
@@ -289,14 +293,36 @@ class TransactionalParquetTable:
         fields: list[tuple[str, str]],
         key_cols: list[str] | None = None,
         order_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Create the table with an empty snapshot. fields = [(name, ddl_type)].
 
         ``key_cols``/``order_cols`` define the MERGE identity and LWW total
         order; the reader needs them to resolve state across delta files.
+
+        ``stats_cols`` (opt-in, numeric columns only): every data file this
+        table writes records per-file min/max for these columns in the
+        SNAPSHOT manifest (Iceberg column-stats analog, keyed by FIELD ID so
+        renames don't orphan them). Consumers with a range predicate —
+        :meth:`read_changes` ``where_between`` — then skip non-overlapping
+        files at PLAN time, without listing or opening them. Costs one
+        column-pruned aggregate over each freshly-written batch (O(batch),
+        never O(table)); leave unset for zero overhead. NOTE: stats prune
+        only APPEND-shaped reads (the change feed). State reads (:meth:`read`)
+        never file-prune on stats — dropping a delta file from an LWW merge
+        could resurrect a stale winner.
         """
         if self.latest() is not None:
             return self.latest()
+        types = {n: t for n, t in fields}
+        for c in stats_cols or []:
+            if c not in types:
+                raise KeyError(f"stats_cols: no column {c!r}")
+            if _norm_type(types[c]) not in _STATS_TYPES:
+                raise ValueError(
+                    f"stats_cols: {c!r} is {types[c]} — only numeric columns "
+                    f"carry zone-map stats ({sorted(_STATS_TYPES)})"
+                )
         schema = {
             "schema_id": 0,
             "fields": [
@@ -311,6 +337,7 @@ class TransactionalParquetTable:
             "n_buckets": self.n_buckets,
             "key_cols": key_cols or DEFAULT_KEY_COLS,
             "order_cols": order_cols or DEFAULT_ORDER_COLS,
+            "stats_cols": stats_cols or [],
             "buckets": {},
             "manifests": [],
             "metrics": {},
@@ -318,6 +345,29 @@ class TransactionalParquetTable:
         }
         self._commit_snapshot(snap, expected_parent=None)
         return snap
+
+    def _collect_file_stats(
+        self, snap: dict, rel: str, written: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-bucket-file min/max of the snapshot's stats_cols, keyed by
+        field id: {bucket_id: {field_id: [min, max]}}. One column-pruned
+        aggregate over the just-written files (O(batch))."""
+        cols = snap.get("stats_cols") or []
+        if not cols or not written:
+            return {}
+        cur = self._schema_by_id(snap, snap["current_schema_id"])
+        ids = {f["name"]: f["id"] for f in cur["fields"]}
+        df = self.spark.read.parquet(os.path.join(self.path, rel))
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        rows = df.groupBy("_pb").agg(*aggs).collect()
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            out[str(r["_pb"])] = {
+                str(ids[c]): [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in cols
+            }
+        return out
 
     # ----------------------------------------------------------------- reads
     def _schema_by_id(self, snap: dict, schema_id: int) -> dict:
@@ -446,6 +496,7 @@ class TransactionalParquetTable:
                 "schemas", "current_schema_id", "n_buckets",
                 "key_cols", "order_cols", "buckets", "manifests",
             )},
+            "stats_cols": target.get("stats_cols", []),
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
             "metrics": {"rollback": {"restored_snapshot_id": snapshot_id}},
@@ -471,6 +522,7 @@ class TransactionalParquetTable:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         reduced: bool = False,
+        where_between: tuple[str, float, float] | None = None,
     ) -> DataFrame:
         """Incremental scan (Iceberg incremental-append-read analog): the
         rows APPENDED between two snapshots — the converged table's own
@@ -488,6 +540,14 @@ class TransactionalParquetTable:
         at ``to``) and raises — the consumer re-syncs with a full
         :meth:`read` (the same restriction Iceberg places on its
         incremental append scan).
+
+        ``where_between=(col, lo, hi)`` (inclusive): filter the changes to
+        a numeric range AND, when the table carries zone-map stats for
+        ``col`` (``create(stats_cols=...)``), skip new files whose
+        [min, max] cannot overlap — they never reach Spark's file listing.
+        Files without stats for the column are conservatively kept. Sound
+        here (the change feed is append-shaped); the LWW state read never
+        file-prunes on stats.
         """
         to_snap = (
             self.latest()
@@ -507,15 +567,37 @@ class TransactionalParquetTable:
                 f"({len(rewritten)} base files rewritten between snapshots); "
                 "re-sync with a full read()"
             )
+        fid = None
+        if where_between is not None:
+            col, lo, hi = where_between
+            cur = self._schema_by_id(to_snap, to_snap["current_schema_id"])
+            hit = [f for f in cur["fields"] if f["name"] == col]
+            if not hit:
+                raise KeyError(f"where_between: no column {col!r}")
+            fid = str(hit[0]["id"])
+
+        def _overlaps(fent: dict) -> bool:
+            if fid is None:
+                return True
+            st = fent.get("stats", {}).get(fid)
+            if st is None or st[0] is None or st[1] is None:
+                return True  # no stats for this column/file: keep
+            return st[1] >= lo and st[0] <= hi
+
         new_buckets = {}
         for b, ent in to_snap["buckets"].items():
-            nf = [f for f in ent["files"] if f["path"] not in from_files]
+            nf = [
+                f for f in ent["files"]
+                if f["path"] not in from_files and _overlaps(f)
+            ]
             if nf:
                 new_buckets[b] = {"files": nf}
         tbl = {**to_snap, "buckets": new_buckets}
         df = read_buckets_projected(
             self.spark, self.path, tbl, list(new_buckets)
         )
+        if where_between is not None:
+            df = df.where(F.col(col).between(lo, hi))
         if reduced:
             df = _lww_reduce(df, to_snap["key_cols"], to_snap["order_cols"])
         return df
@@ -611,6 +693,19 @@ class TransactionalParquetTable:
         parent = self.latest()
         if parent is None:
             raise FileNotFoundError(f"table {self.path} does not exist; create() first")
+        # caller-provided key/order overrides must exist under the CURRENT
+        # schema: storing a stale (pre-rename) name would poison every later
+        # LWW read with an unresolvable column — fail at the write instead
+        cur_names = {
+            f["name"]
+            for f in self._schema_by_id(parent, parent["current_schema_id"])["fields"]
+        }
+        stale = [c for c in (key_cols or []) + (order_cols or []) if c not in cur_names]
+        if stale:
+            raise KeyError(
+                f"merge: key/order columns {stale} not in the current schema "
+                f"(renamed? pass current names or None to keep the snapshot's)"
+            )
         committed = {tuple(m) for m in parent["manifests"]}
         entries = [tuple(e) for e in manifest_entries]
         fresh = [e for e in entries if e not in committed]
@@ -631,15 +726,17 @@ class TransactionalParquetTable:
         if pre_commit_check is not None:
             pre_commit_check()  # raising here aborts: files orphan, no commit
 
+        file_stats = self._collect_file_stats(parent, rel, written)
         buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
         for b in written:
             ent = buckets.setdefault(b, {"files": []})
-            ent["files"] = ent["files"] + [
-                {
-                    "path": os.path.join(rel, f"_pb={b}"),
-                    "schema_id": parent["current_schema_id"],
-                }
-            ]
+            fent = {
+                "path": os.path.join(rel, f"_pb={b}"),
+                "schema_id": parent["current_schema_id"],
+            }
+            if b in file_stats:
+                fent["stats"] = file_stats[b]
+            ent["files"] = ent["files"] + [fent]
 
         snap = {
             "snapshot_id": new_id,
@@ -649,6 +746,7 @@ class TransactionalParquetTable:
             "n_buckets": n_buckets,
             "key_cols": key_cols or parent["key_cols"],
             "order_cols": order_cols or parent["order_cols"],
+            "stats_cols": parent.get("stats_cols", []),
             "buckets": buckets,
             "manifests": parent["manifests"] + [list(e) for e in fresh],
             "metrics": {**(metrics or {}), "buckets_written": len(written)},
@@ -714,18 +812,18 @@ class TransactionalParquetTable:
                 f"victim set {sorted(victims)} — bucket layout corrupted"
             )
 
+        file_stats = self._collect_file_stats(parent, rel, written)
         buckets = {b: dict(ent) for b, ent in parent["buckets"].items()}
         for b in victims:
             buckets.pop(b, None)  # a fully-empty bucket stays absent
         for b in written:
-            buckets[b] = {
-                "files": [
-                    {
-                        "path": os.path.join(rel, f"_pb={b}"),
-                        "schema_id": parent["current_schema_id"],
-                    }
-                ]
+            fent = {
+                "path": os.path.join(rel, f"_pb={b}"),
+                "schema_id": parent["current_schema_id"],
             }
+            if b in file_stats:
+                fent["stats"] = file_stats[b]
+            buckets[b] = {"files": [fent]}
         snap = {
             "snapshot_id": new_id,
             "parent_id": parent["snapshot_id"],
@@ -734,6 +832,7 @@ class TransactionalParquetTable:
             "n_buckets": n_buckets,
             "key_cols": parent["key_cols"],
             "order_cols": parent["order_cols"],
+            "stats_cols": parent.get("stats_cols", []),
             "buckets": buckets,
             "manifests": parent["manifests"],
             "metrics": {
@@ -853,6 +952,7 @@ class TransactionalParquetTable:
             "n_buckets": parent.get("n_buckets", self.n_buckets),
             "key_cols": remap(parent["key_cols"]),
             "order_cols": remap(parent["order_cols"]),
+            "stats_cols": remap(parent.get("stats_cols", [])),
             "buckets": parent["buckets"],
             "manifests": parent["manifests"],
             "metrics": {

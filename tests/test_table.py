@@ -517,3 +517,62 @@ def test_rollback_and_read_asof(spark, tmp_path):
         tab.rollback(sid1)
     with pytest.raises(FileNotFoundError):
         tab.read_asof(0.0)
+
+
+def test_zone_map_stats_prune_incremental_reads(spark, tmp_path):
+    """Opt-in per-file min/max stats (field-id keyed) let read_changes skip
+    non-overlapping new files at plan time; state reads never stats-prune."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="numeric"):
+        tab.create(FIELDS, stats_cols=["content"])
+    tab.create(FIELDS, stats_cols=["last_offset"])
+    base_id = tab.latest()["snapshot_id"]
+
+    def batch(lo):
+        rows = [(f"r{lo}", f"p{i}", f"c{i:02d}" * 10, f"v{lo}", "upsert", lo + i, 0)
+                for i in range(10)]
+        return _df(spark, rows)
+
+    for lo in (0, 100, 200):
+        tab.merge(batch(lo), [(0, lo, lo + 9)], KEYS, ORDER)
+
+    # every new file entry carries [min, max] for the stats column
+    snap = tab.latest()
+    fid = str(next(f["id"] for f in snap["schemas"][-1]["fields"]
+                   if f["name"] == "last_offset"))
+    ents = [f for ent in snap["buckets"].values() for f in ent["files"]]
+    assert ents and all(fid in f.get("stats", {}) for f in ents)
+
+    # range hitting only the middle batch: rows exact AND files pruned to
+    # that batch's snapshot dir (plan-time skip, not just a row filter)
+    ch = tab.read_changes(base_id, where_between=("last_offset", 100, 109))
+    assert sorted(r["last_offset"] for r in ch.collect()) == list(range(100, 110))
+    mid_snap = base_id + 2  # create, merge0, merge100
+    assert ch.inputFiles() and all(f"snap-{mid_snap}" in p for p in ch.inputFiles())
+    # unpruned incremental read touches all three merges' files
+    allch = tab.read_changes(base_id)
+    assert len(allch.inputFiles()) > len(ch.inputFiles())
+
+    # rename keeps stats working: they are keyed by field id, and
+    # stats_cols follows the rename
+    tab.evolve(rename={"last_offset": "off"})
+    assert tab.latest()["stats_cols"] == ["off"]
+    # stale (pre-rename) order names are refused at the write, not
+    # discovered as an unresolvable column at read time
+    with pytest.raises(KeyError, match="current schema"):
+        tab.merge(
+            _df(spark, [("rX", "pX", "cX" * 10, "vX", "upsert", 300, 0)]),
+            [(0, 300, 300)], KEYS, ORDER,
+        )
+    tab.merge(
+        _df(spark, [("rX", "pX", "cX" * 10, "vX", "upsert", 300, 0)]),
+        [(0, 300, 300)],  # snapshot's remapped key/order cols apply
+    )
+    ch2 = tab.read_changes(base_id, where_between=("off", 300, 400))
+    assert [r["off"] for r in ch2.collect()] == [300]
+    assert all(f"snap-{tab.latest()['snapshot_id']}" in p for p in ch2.inputFiles())
+
+    # unknown column refused; state read unaffected by stats machinery
+    with pytest.raises(KeyError):
+        tab.read_changes(base_id, where_between=("nope", 0, 1))
+    assert tab.read().count() == 31
