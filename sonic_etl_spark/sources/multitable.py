@@ -56,6 +56,10 @@ class TableSpec:
     # bucket the data by these columns (default: key_cols) so upserts are
     # co-located; quarantine-style append-mostly tables can bucket wider
     bucket_cols: list[str] = field(default_factory=list)
+    # opt-in zone-map columns (numeric): per-file min/max in the manifest,
+    # consumed by read_changes(where_between=...) — same contract as
+    # TransactionalParquetTable.create(stats_cols=...)
+    stats_cols: list[str] = field(default_factory=list)
 
 
 class TransactionalTableSet:
@@ -137,8 +141,11 @@ class TransactionalTableSet:
     def create(self, tables: dict[str, TableSpec]) -> dict:
         if self.latest() is not None:
             return self.latest()
+        from sonic_etl_spark.sources.table import validate_stats_cols
+
         tbls = {}
         for name, spec in tables.items():
+            validate_stats_cols(spec.fields, spec.stats_cols)
             tbls[name] = {
                 "schemas": [
                     {
@@ -153,6 +160,7 @@ class TransactionalTableSet:
                 "key_cols": spec.key_cols,
                 "order_cols": spec.order_cols,
                 "bucket_cols": spec.bucket_cols or spec.key_cols,
+                "stats_cols": spec.stats_cols,
                 "buckets": {},
             }
         snap = {
@@ -247,12 +255,14 @@ class TransactionalTableSet:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         reduced: bool = False,
+        where_between: tuple[str, float, float] | None = None,
     ) -> DataFrame:
         """Incremental scan of ONE table in the set — same contract as
         ``TransactionalParquetTable.read_changes`` (O(new data) for the
-        consumer; raises across a compaction/expiry boundary). A fan-out
-        consumer tails e.g. ``file_versions`` this way without rereading
-        the table."""
+        consumer; raises across a compaction/expiry boundary;
+        ``where_between`` prunes new files by zone-map stats when the spec
+        declared ``stats_cols``). A fan-out consumer tails e.g.
+        ``file_versions`` this way without rereading the table."""
         to_snap = (
             self.latest()
             if to_snapshot_id is None
@@ -279,20 +289,63 @@ class TransactionalTableSet:
                 f"boundary ({len(rewritten)} base files rewritten); re-sync "
                 "with a full read()"
             )
+        fid = None
+        if where_between is not None:
+            col, lo, hi = where_between
+            cur = next(
+                s for s in to_tbl["schemas"]
+                if s["schema_id"] == to_tbl["current_schema_id"]
+            )
+            hit = [f for f in cur["fields"] if f["name"] == col]
+            if not hit:
+                raise KeyError(f"where_between: no column {col!r} in {name}")
+            fid = str(hit[0]["id"])
+
+        def _overlaps(fent: dict) -> bool:
+            if fid is None:
+                return True
+            st = fent.get("stats", {}).get(fid)
+            if st is None or st[0] is None or st[1] is None:
+                return True  # no stats: conservatively keep
+            return st[1] >= lo and st[0] <= hi
+
         new_buckets = {}
         for b, ent in to_tbl["buckets"].items():
-            nf = [f for f in ent["files"] if f["path"] not in from_files]
+            nf = [
+                f for f in ent["files"]
+                if f["path"] not in from_files and _overlaps(f)
+            ]
             if nf:
                 new_buckets[b] = {"files": nf}
         tbl = {**to_tbl, "buckets": new_buckets}
         df = read_buckets_projected(
             self.spark, self.path, tbl, list(new_buckets)
         )
+        if where_between is not None:
+            df = df.where(F.col(col).between(lo, hi))
         if reduced:
             df = _lww_reduce(df, to_tbl["key_cols"], to_tbl["order_cols"])
         return df
 
     # ----------------------------------------------------------------- merge
+    def _collect_table_stats(
+        self, tbl: dict, rel: str, written: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Zone-map stats for one table's fresh files (field-id keyed);
+        same O(batch) collection as the single table's."""
+        from sonic_etl_spark.sources.table import collect_parquet_stats
+
+        cols = tbl.get("stats_cols") or []
+        if not cols or not written:
+            return {}
+        cur = next(
+            s for s in tbl["schemas"] if s["schema_id"] == tbl["current_schema_id"]
+        )
+        ids = {f["name"]: f["id"] for f in cur["fields"]}
+        return collect_parquet_stats(
+            self.spark, os.path.join(self.path, rel), cols, ids
+        )
+
     def _write_table_files(
         self, snap: dict, new_id: int, name: str, df: DataFrame
     ) -> tuple[str, list[str]]:
@@ -378,14 +431,16 @@ class TransactionalTableSet:
         for name, df in updates.items():
             rel, written = self._write_table_files(parent, new_id, name, df)
             tbl = tbls[name]
+            file_stats = self._collect_table_stats(tbl, rel, written)
             for b in written:
                 ent = tbl["buckets"].setdefault(b, {"files": []})
-                ent["files"] = ent["files"] + [
-                    {
-                        "path": os.path.join(rel, f"_pb={b}"),
-                        "schema_id": tbl["current_schema_id"],
-                    }
-                ]
+                fent = {
+                    "path": os.path.join(rel, f"_pb={b}"),
+                    "schema_id": tbl["current_schema_id"],
+                }
+                if b in file_stats:
+                    fent["stats"] = file_stats[b]
+                ent["files"] = ent["files"] + [fent]
             written_counts[name] = len(written)
         if pre_commit_check is not None:
             pre_commit_check()  # raising aborts: files orphan, no commit
@@ -482,6 +537,7 @@ class TransactionalTableSet:
         tbl["key_cols"] = remap(tbl["key_cols"])
         tbl["order_cols"] = remap(tbl["order_cols"])
         tbl["bucket_cols"] = remap(tbl["bucket_cols"])
+        tbl["stats_cols"] = remap(tbl.get("stats_cols", []))
         tbls[name] = tbl
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
@@ -541,17 +597,17 @@ class TransactionalTableSet:
                     f"{name}: compaction wrote buckets {sorted(stray)} outside "
                     f"victims {sorted(victims)}"
                 )
+            file_stats = self._collect_table_stats(tbl, rel, written)
             for b in victims:
                 tbl["buckets"].pop(b, None)
             for b in written:
-                tbl["buckets"][b] = {
-                    "files": [
-                        {
-                            "path": os.path.join(rel, f"_pb={b}"),
-                            "schema_id": tbl["current_schema_id"],
-                        }
-                    ]
+                fent = {
+                    "path": os.path.join(rel, f"_pb={b}"),
+                    "schema_id": tbl["current_schema_id"],
                 }
+                if b in file_stats:
+                    fent["stats"] = file_stats[b]
+                tbl["buckets"][b] = {"files": [fent]}
             total_victims += len(victims)
         if not total_victims:
             return {"status": "noop", "snapshot_id": parent["snapshot_id"]}

@@ -170,6 +170,39 @@ _WIDEN_OK = {("int", "bigint"), ("float", "double")}
 _STATS_TYPES = {"int", "bigint", "double", "float", "smallint", "tinyint"}
 
 
+def collect_parquet_stats(
+    spark: SparkSession, out_dir: str, cols: list[str], ids_by_name: dict[str, int]
+) -> dict[str, dict[str, list]]:
+    """Per-bucket-file min/max over a freshly-written ``_pb``-partitioned
+    dir, keyed by field id: {bucket_id: {field_id: [min, max]}}. One
+    column-pruned aggregate (O(batch)); shared by the single table and the
+    fan-out set."""
+    df = spark.read.parquet(out_dir)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    rows = df.groupBy("_pb").agg(*aggs).collect()
+    return {
+        str(r["_pb"]): {
+            str(ids_by_name[c]): [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+
+
+def validate_stats_cols(fields: list[tuple[str, str]], stats_cols: list[str]) -> None:
+    """stats_cols must name numeric columns of ``fields`` (zone-map rule)."""
+    types = {n: t for n, t in fields}
+    for c in stats_cols:
+        if c not in types:
+            raise KeyError(f"stats_cols: no column {c!r}")
+        if _norm_type(types[c]) not in _STATS_TYPES:
+            raise ValueError(
+                f"stats_cols: {c!r} is {types[c]} — only numeric columns "
+                f"carry zone-map stats ({sorted(_STATS_TYPES)})"
+            )
+
+
 class CommitConflict(Exception):
     """Another writer advanced the table between our read and our commit."""
 
@@ -314,15 +347,7 @@ class TransactionalParquetTable:
         """
         if self.latest() is not None:
             return self.latest()
-        types = {n: t for n, t in fields}
-        for c in stats_cols or []:
-            if c not in types:
-                raise KeyError(f"stats_cols: no column {c!r}")
-            if _norm_type(types[c]) not in _STATS_TYPES:
-                raise ValueError(
-                    f"stats_cols: {c!r} is {types[c]} — only numeric columns "
-                    f"carry zone-map stats ({sorted(_STATS_TYPES)})"
-                )
+        validate_stats_cols(fields, stats_cols or [])
         schema = {
             "schema_id": 0,
             "fields": [
@@ -357,17 +382,9 @@ class TransactionalParquetTable:
             return {}
         cur = self._schema_by_id(snap, snap["current_schema_id"])
         ids = {f["name"]: f["id"] for f in cur["fields"]}
-        df = self.spark.read.parquet(os.path.join(self.path, rel))
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        rows = df.groupBy("_pb").agg(*aggs).collect()
-        out: dict[str, dict[str, list]] = {}
-        for r in rows:
-            out[str(r["_pb"])] = {
-                str(ids[c]): [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in cols
-            }
-        return out
+        return collect_parquet_stats(
+            self.spark, os.path.join(self.path, rel), cols, ids
+        )
 
     # ----------------------------------------------------------------- reads
     def _schema_by_id(self, snap: dict, schema_id: int) -> dict:

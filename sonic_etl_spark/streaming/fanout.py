@@ -92,6 +92,10 @@ FANOUT_SPECS: dict[str, TableSpec] = {
         order_cols=["last_offset", "last_partition_id"],
         # bucket by (repo, path) so version history co-locates with state
         bucket_cols=["repo", "path"],
+        # zone maps on the offset: downstream tails read_changes with an
+        # offset range and skip non-overlapping files at plan time (the
+        # per-batch stats agg measured at ~2% of merge cost, BENCH.md)
+        stats_cols=["last_offset"],
     ),
     "quarantine": TableSpec(
         fields=QUARANTINE_FIELDS,

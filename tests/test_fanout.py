@@ -343,3 +343,32 @@ def test_tableset_widen_and_drop_mid_stream(spark, tmp_path, log_df):
         ts.evolve("source_code", drop=["repo"])
     with _pytest.raises(ValueError, match="lossless"):
         ts.evolve("source_code", widen={"content": "int"})
+
+
+def test_tableset_zone_map_pruned_incremental_read(spark, tmp_path, log_df):
+    """file_versions carries offset zone maps: a tailing consumer's
+    range-filtered read_changes skips non-overlapping new files at plan
+    time (strictly fewer inputFiles than the unpruned incremental read)."""
+    import pyspark.sql.functions as F2
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "f9"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    base = 1  # the create() snapshot
+    snap = ts.latest()
+    fv = snap["tables"]["file_versions"]
+    fid = str(next(f["id"] for f in fv["schemas"][-1]["fields"]
+                   if f["name"] == "last_offset"))
+    ents = [f for e in fv["buckets"].values() for f in e["files"]]
+    assert ents and all(fid in f.get("stats", {}) for f in ents)
+
+    pruned = ts.read_changes(
+        "file_versions", base, where_between=("last_offset", 0, 199)
+    )
+    assert pruned.count() > 0
+    assert pruned.agg(F2.max("last_offset")).first()[0] <= 199
+    full = ts.read_changes("file_versions", base)
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # source_code declared no stats_cols: range read still works, unpruned
+    sc = ts.read_changes("source_code", base,
+                         where_between=("last_offset", 0, 199))
+    assert sc.agg(F2.max("last_offset")).first()[0] <= 199
