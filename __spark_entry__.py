@@ -43,7 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query — since r4 EVERY query has one
-    (54/54): the two mapInPandas media-codec stages replay in SQL too,
+    (56/56): the two mapInPandas media-codec stages replay in SQL too,
     because the stub codec's byte-sum math is reconstructible from
     hex(payload) nibble pairs. The CDC replay/fanout queries materialize
     their synthesized log to parquet and the SQL replays it

@@ -1388,6 +1388,54 @@ FROM t GROUP BY user_id, session_idx
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history intervals (operators.temporal.scd2_intervals): every
+    event becomes a version row with [valid_from, valid_to) — the
+    slowly-changing-dimension shape whose point-in-time consumer is
+    asof_join. One per-key window, lead() streaming frame."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    iv = temporal_ops.scd2_intervals(
+        ev, ["user_id"], "ts", order_cols=["event_id"]
+    )
+    return iv.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value"), 2).alias("value"),
+        F.unix_timestamp("valid_from").alias("valid_from_epoch"),
+        F.unix_timestamp("valid_to").alias("valid_to_epoch"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id,
+       event_id,
+       round(value, 2) AS value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_epoch,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic stratified sample (curation.sample_k_per_stratum):
+    25 docs per language by seeded md5 rank — the eval-set constructor;
+    stable across runs/partitioning, uncorrelated with split/pack seeds."""
+    d = _t(spark, sf_dir, "documents")
+    return curation_ops.sample_k_per_stratum(d, k=25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_SAMPLE_K = (
+    "SELECT doc_id, lang, source FROM ("
+    + curation_ops.sample_k_per_stratum_sql("documents", k=25)
+    + ") _sk"
+)
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew detector (operators.profile.key_distribution): top-25
     heaviest lineitem supplier keys with row share and skew factor — the
@@ -1796,6 +1844,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
     "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "sample_k_per_lang": (q_sample_k_per_lang, SQL_SAMPLE_K),
     "key_skew": (q_key_skew, SQL_KEY_SKEW),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "group_percentiles": (q_group_percentiles, SQL_GROUP_PERCENTILES),

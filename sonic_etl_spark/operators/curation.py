@@ -387,6 +387,63 @@ def sample_stratified(
     return df.where(h < bound_col)
 
 
+def sample_k_per_stratum(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "samplek-v1",
+) -> DataFrame:
+    """Exactly min(k, stratum size) rows per stratum, deterministically:
+    rank rows within each stratum by their seeded 60-bit md5 hash (the
+    same portable hash as :func:`split_dataset`, its own seed namespace —
+    uncorrelated with split/sample/pack assignment) and keep the k
+    smallest. The eval-set constructor: "50 docs per language, stable
+    across runs and clusters".
+
+    Unlike :func:`sample_stratified` (rate-based, size varies with the
+    stratum), membership here depends on the stratum's OTHER members, so
+    it costs one shuffle (window per stratum) instead of zero — rank by
+    (hash, id) so ties are impossible and the pick is total-order stable.
+    """
+    if k <= 0:
+        raise ValueError(f"sample_k_per_stratum: k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    h = _split_hash(id_col, seed)
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sample_k_per_stratum_sql(
+    table: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "samplek-v1",
+) -> str:
+    """DuckDB mirror of :func:`sample_k_per_stratum` (same md5 rank)."""
+    h = (
+        "CAST(CAST(('0x' || substr(md5('"
+        + seed
+        + f":' || CAST({id_col} AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+SELECT * EXCLUDE (_rk) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum_col} ORDER BY {h}, {id_col}
+  ) AS _rk
+  FROM {table}
+) WHERE _rk <= {k}
+"""
+
+
 def _rate_to_bound(rate: float, what: str) -> int:
     if not (0.0 <= rate <= 1.0):
         raise ValueError(f"sample_stratified: {what} must be in [0,1], got {rate}")

@@ -224,6 +224,35 @@ def _bucketed_backward_scan(
     )
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+    current_flag: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change feed: each
+    version row gains ``valid_from`` (its own ts) and ``valid_to`` (the
+    NEXT version's ts for the same key; NULL for the current version) —
+    the history-table shape whose point-in-time consumer is
+    :func:`asof_join`. Half-open intervals: [valid_from, valid_to).
+
+    ``order_cols`` breaks ts ties (pass the offset/commit columns a CDC
+    feed carries). One shuffle (the per-key window); ``lead`` is a
+    streaming frame. ``current_flag`` adds ``is_current``.
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    out = df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(F.col(ts_col)).over(w)
+    )
+    if current_flag:
+        out = out.withColumn("is_current", F.col("valid_to").isNull())
+    return out
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -210,3 +210,40 @@ def test_asof_bucketed_tolerance_and_null_ts(spark):
     got = {r["tag"]: r["rv"] for r in out.collect()}
     assert got == {"near": 50.0, "far": None, "null-ts": None}
     assert out.count() == 3
+
+
+def test_scd2_intervals_chain(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(10), "b"), (1, _ts(20), "c"), (2, _ts(5), "x")],
+        "k int, ts timestamp, v string",
+    )
+    out = {r["v"]: r for r in temporal.scd2_intervals(ev, ["k"], "ts").collect()}
+    assert out["a"]["valid_from"] == _ts(0) and out["a"]["valid_to"] == _ts(10)
+    assert out["b"]["valid_to"] == _ts(20) and not out["b"]["is_current"]
+    assert out["c"]["valid_to"] is None and out["c"]["is_current"]
+    assert out["x"]["valid_to"] is None and out["x"]["is_current"]
+    # intervals tile the key's timeline: next valid_from == prior valid_to
+    assert out["b"]["valid_from"] == out["a"]["valid_to"]
+
+
+def test_sample_k_per_stratum_exact_and_stable(spark):
+    from sonic_etl_spark.operators.curation import sample_k_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 100 else "small") for i in range(110)],
+        "doc_id long, lang string",
+    )
+    out = sample_k_per_stratum(df, k=7)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"big": 7, "small": 7}
+    small_ids = {r["doc_id"] for r in out.where("lang = 'small'").collect()}
+    assert small_ids <= set(range(100, 110))
+    # partitioning-invariant: same members under a different layout
+    out2 = sample_k_per_stratum(df.repartition(13), k=7)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+    # k beyond the stratum keeps the whole stratum
+    alls = sample_k_per_stratum(df, k=500)
+    assert alls.count() == 110
+    with pytest.raises(ValueError, match="positive"):
+        sample_k_per_stratum(df, k=0)
