@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "group_percentiles",
     "redact_pii",
     "ngram_containment",
+    "scd2_intervals",
 ]
 
 

@@ -867,6 +867,67 @@ class TransactionalParquetTable:
             "buckets_compacted": len(victims),
         }
 
+    def rebucket(self, n_buckets: int) -> dict:
+        """Partition evolution: rewrite the WHOLE table into a new bucket
+        count (Iceberg partition-spec evolution, done eagerly — the bucket
+        function is the merge/lookup routing, so old and new layouts cannot
+        coexist within one snapshot). One LWW-reduced full rewrite
+        (tombstones retained, same as compaction); manifests carry over, so
+        replay resumption and exactly-once are unaffected; subsequent
+        merges/lookups hash into the new layout via the snapshot's
+        n_buckets. Incremental readers crossing this snapshot see the usual
+        compaction-boundary refusal (file identity changed)."""
+        if n_buckets <= 0:
+            raise ValueError(f"rebucket: n_buckets must be positive, got {n_buckets}")
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        if parent.get("n_buckets", self.n_buckets) == n_buckets:
+            return {"status": "noop", "snapshot_id": parent["snapshot_id"]}
+        t0 = time.time()
+        new_id = parent["snapshot_id"] + 1
+        state = _lww_reduce(
+            self._read_buckets(parent, list(parent["buckets"].keys())),
+            parent["key_cols"],
+            parent["order_cols"],
+        )
+        rel, written = self._write_bucket_files(
+            new_id, state, n_partitions=max(n_buckets, 1),
+            n_buckets=n_buckets, key_cols=parent["key_cols"],
+        )
+        file_stats = self._collect_file_stats(parent, rel, written)
+        buckets = {}
+        for b in written:
+            fent = {
+                "path": os.path.join(rel, f"_pb={b}"),
+                "schema_id": parent["current_schema_id"],
+            }
+            if b in file_stats:
+                fent["stats"] = file_stats[b]
+            buckets[b] = {"files": [fent]}
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "schemas": parent["schemas"],
+            "current_schema_id": parent["current_schema_id"],
+            "n_buckets": n_buckets,
+            "key_cols": parent["key_cols"],
+            "order_cols": parent["order_cols"],
+            "stats_cols": parent.get("stats_cols", []),
+            "buckets": buckets,
+            "manifests": parent["manifests"],
+            "metrics": {
+                "rebucket": {
+                    "from": parent.get("n_buckets", self.n_buckets),
+                    "to": n_buckets,
+                    "rebucket_sec": round(time.time() - t0, 3),
+                }
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {"status": "rebucketed", "snapshot_id": new_id, "n_buckets": n_buckets}
+
     # ------------------------------------------------------------- retention
     def expire_snapshots(
         self, keep_last: int = 1, min_age_sec: float = 0.0

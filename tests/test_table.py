@@ -576,3 +576,41 @@ def test_zone_map_stats_prune_incremental_reads(spark, tmp_path):
     with pytest.raises(KeyError):
         tab.read_changes(base_id, where_between=("nope", 0, 1))
     assert tab.read().count() == 31
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """Rebucket = full LWW rewrite into a new bucket count: state hash
+    identical, manifests carried (replay resumption unaffected), lookups
+    route through the new layout, incremental reads refuse the boundary."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS, stats_cols=["last_offset"])
+    rows = [(f"r{i}", f"p{i}", f"c{i:02d}" * 10, f"v{i}", "upsert", i, 0)
+            for i in range(40)]
+    for i in range(0, 40, 10):
+        tab.merge(_df(spark, rows[i:i + 10]), [(0, i, i + 9)], KEYS, ORDER)
+    pre_id = tab.latest()["snapshot_id"]
+    before = _state(tab)
+
+    res = tab.rebucket(16)
+    assert res["status"] == "rebucketed"
+    assert tab.latest()["n_buckets"] == 16
+    assert _state(tab) == before
+    assert max(int(b) for b in tab.latest()["buckets"]) < 16
+    # manifests preserved: re-applying an old range is still a no-op
+    assert tab.merge(_df(spark, rows[:10]), [(0, 0, 9)], KEYS, ORDER)["status"] == "skipped"
+    # point lookup routes through the NEW layout (single bucket read)
+    hit = tab.lookup(repo="r7", path="p7")
+    assert hit.count() == 1 and hit.first()["content"] == "v7"
+    # rewritten files keep zone-map stats
+    ents = [f for e in tab.latest()["buckets"].values() for f in e["files"]]
+    assert all("stats" in f for f in ents)
+    # incremental read across the rewrite refuses (file-identity boundary)
+    with pytest.raises(ValueError, match="boundary"):
+        tab.read_changes(pre_id)
+    assert tab.rebucket(16)["status"] == "noop"
+    with pytest.raises(ValueError, match="positive"):
+        tab.rebucket(0)
+    # a post-rebucket merge keeps converging under the new layout
+    tab.merge(_df(spark, [("r7", "p7", "cZ" * 10, "v7b", "upsert", 99, 0)]),
+              [(0, 99, 99)], KEYS, ORDER)
+    assert tab.lookup(repo="r7", path="p7").first()["content"] == "v7b"
