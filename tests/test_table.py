@@ -614,3 +614,86 @@ def test_rebucket_partition_evolution(spark, tmp_path):
     tab.merge(_df(spark, [("r7", "p7", "cZ" * 10, "v7b", "upsert", 99, 0)]),
               [(0, 99, 99)], KEYS, ORDER)
     assert tab.lookup(repo="r7", path="p7").first()["content"] == "v7b"
+
+
+def test_random_lifecycle_with_rollback_rebucket_matches_model(spark, tmp_path):
+    """Model-based check over the FULL lifecycle vocabulary: merge /
+    compact / expire / rename-evolve / widen / rebucket / rollback in a
+    seeded random interleaving must track a plain-dict LWW model — with
+    rollback restoring both the model state AND the schema epoch (a
+    rollback across a rename reverts the column name too)."""
+    import random
+
+    rng = random.Random(4321)
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=4)
+    tab.create(FIELDS)
+    model: dict[tuple, tuple] = {}
+    content_col = "content"
+    offset = 0
+    widened = False
+    # model state per committed snapshot id (rollback restores from here)
+    snaps = {tab.latest()["snapshot_id"]: (dict(model), content_col)}
+
+    for step in range(24):
+        op = rng.choice(
+            ["merge", "merge", "merge", "compact", "expire", "evolve",
+             "rebucket", "widen", "rollback"]
+        )
+        if op == "merge":
+            rows, n = [], rng.randint(1, 4)
+            for _ in range(n):
+                k = (f"r{rng.randint(0, 2)}", f"p{rng.randint(0, 5)}")
+                kind = "delete" if rng.random() < 0.2 else "upsert"
+                commit = (f"c{rng.randint(0, 99):02d}" * 10)[:40]
+                val = None if kind == "delete" else f"v{step}-{offset}"
+                rows.append((k[0], k[1], commit, val, kind, offset, 0))
+                order = (offset, 0, commit)
+                if k not in model or order > model[k][0]:
+                    model[k] = (order, val, kind)
+                offset += 1
+            df = spark.createDataFrame(
+                rows,
+                f"repo string, path string, commit string, {content_col} string,"
+                " op string, last_offset bigint, last_partition_id int",
+            )
+            tab.merge(df, [(0, offset - n, offset - 1)])
+        elif op == "compact":
+            tab.compact(force=rng.random() < 0.5)
+        elif op == "expire":
+            tab.expire_snapshots(keep_last=rng.randint(2, 4))
+        elif op == "evolve":
+            new = f"{content_col}_r{step}"
+            tab.evolve(rename={content_col: new})
+            content_col = new
+        elif op == "rebucket":
+            tab.rebucket(rng.choice([2, 4, 8]))
+        elif op == "widen" and not widened:
+            tab.evolve(widen={"last_partition_id": "bigint"})
+            widened = True
+        elif op == "rollback":
+            latest = tab.latest()["snapshot_id"]
+            targets = [
+                s["snapshot_id"] for s in tab.history()
+                if s["snapshot_id"] in snaps and s["snapshot_id"] != latest
+            ]
+            if targets:
+                t = rng.choice(targets)
+                tab.rollback(t)
+                saved_model, saved_col = snaps[t]
+                model = dict(saved_model)
+                content_col = saved_col
+                # schema epoch may have reverted past the widen
+                latest_snap = tab.latest()
+                cur = next(
+                    s for s in latest_snap["schemas"]
+                    if s["schema_id"] == latest_snap["current_schema_id"]
+                )
+                widened = any(
+                    f["name"] == "last_partition_id" and f["type"] == "bigint"
+                    for f in cur["fields"]
+                )
+        snaps[tab.latest()["snapshot_id"]] = (dict(model), content_col)
+
+    got = {(r["repo"], r["path"]): r[content_col] for r in tab.read().collect()}
+    want = {k: v for k, (o, v, kind) in model.items() if kind != "delete"}
+    assert got == want
