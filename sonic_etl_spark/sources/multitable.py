@@ -198,8 +198,13 @@ class TransactionalTableSet:
         snap = self.latest()
         return sorted(snap["tables"]) if snap else []
 
-    def read(self, name: str, include_tombstones: bool = False) -> DataFrame:
-        snap = self.latest()
+    def read(
+        self,
+        name: str,
+        include_tombstones: bool = False,
+        snap: dict | None = None,
+    ) -> DataFrame:
+        snap = snap or self.latest()
         if snap is None or name not in snap["tables"]:
             raise FileNotFoundError(f"table {name} not in set {self.path}")
         tbl = snap["tables"][name]
@@ -210,6 +215,49 @@ class TransactionalTableSet:
         if not include_tombstones and "op" in df.columns:
             df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
+
+    def read_asof(self, ts: float, name: str) -> DataFrame:
+        """Timestamp time travel for one table of the set: the state under
+        the latest retained snapshot committed at or before ``ts`` (the
+        SHARED log, so a multi-table consumer reading several names at the
+        same ts gets a CONSISTENT cross-table cut — the point of the
+        single-pointer design). Raises beyond the retention horizon."""
+        eligible = [
+            s for s in self.history() if s.get("committed_at", 0.0) <= ts
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no retained snapshot at or before ts={ts}"
+            )
+        return self.read(name, snap=eligible[-1])
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Restore the WHOLE set to a historical snapshot's state in one
+        commit (Iceberg rollback semantics, cross-table-atomic here: every
+        table's files and the shared manifest set revert together, so a
+        fan-out replay resumes from the restored frontier and re-applies
+        the undone batches to ALL tables under the same manifests)."""
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table set {self.path} does not exist")
+        if snapshot_id == parent["snapshot_id"]:
+            return {"status": "noop", "snapshot_id": snapshot_id}
+        target = self.snapshot(snapshot_id)  # FileNotFoundError if expired
+        snap = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "n_buckets": target["n_buckets"],
+            "tables": target["tables"],
+            "manifests": target["manifests"],
+            "metrics": {"rollback": {"restored_snapshot_id": snapshot_id}},
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {
+            "status": "rolled_back",
+            "snapshot_id": snap["snapshot_id"],
+            "restored_snapshot_id": snapshot_id,
+        }
 
     def lookup(self, name: str, **key) -> DataFrame:
         """Point read of one table in the set — the serving path: hash the

@@ -372,3 +372,37 @@ def test_tableset_zone_map_pruned_incremental_read(spark, tmp_path, log_df):
     sc = ts.read_changes("source_code", base,
                          where_between=("last_offset", 0, 199))
     assert sc.agg(F2.max("last_offset")).first()[0] <= 199
+
+
+def test_tableset_rollback_and_read_asof(spark, tmp_path, log_df, oracle_hashes):
+    """Set rollback is cross-table-atomic: every table's files AND the
+    shared manifests revert in one pointer flip, and resuming the fan-out
+    replay re-applies the undone batches to all tables — reconverging to
+    the oracle hashes. read_asof gives a consistent cross-table cut."""
+    import time as _time
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "f10"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  max_batches=2)
+    mid_id = ts.latest()["snapshot_id"]
+    mid_counts = {n: ts.read(n).count() for n in ("source_code", "file_versions")}
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    final_hashes = _all_hashes(ts)
+    assert final_hashes == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+
+    # timestamp cut: both tables as of t_mid (the same shared snapshot)
+    for n, c in mid_counts.items():
+        assert ts.read_asof(t_mid, n).count() == c
+
+    res = ts.rollback(mid_id)
+    assert res["status"] == "rolled_back"
+    for n, c in mid_counts.items():
+        assert ts.read(n).count() == c
+    # resume: the undone batches re-apply atomically and reconverge
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    assert _all_hashes(ts) == final_hashes
+    assert ts.rollback(ts.latest()["snapshot_id"])["status"] == "noop"
