@@ -607,6 +607,68 @@ class TransactionalTableSet:
         self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
         return snap
 
+    def rebucket(self, n_buckets: int) -> dict:
+        """Partition evolution for the WHOLE set: one LWW-reduced rewrite of
+        every table into the new bucket count under ONE commit (n_buckets is
+        shared across the set, so per-table rebucketing cannot exist).
+        Same contract as TransactionalParquetTable.rebucket: state hashes
+        preserved, tombstones retained, manifests carried (fan-out replay
+        resumption and exactly-once unaffected), zone-map stats recollected;
+        incremental readers get the rewrite-boundary refusal."""
+        if n_buckets <= 0:
+            raise ValueError(f"rebucket: n_buckets must be positive, got {n_buckets}")
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"table set {self.path} does not exist")
+        if parent["n_buckets"] == n_buckets:
+            return {"status": "noop", "snapshot_id": parent["snapshot_id"]}
+        t0 = time.time()
+        new_id = parent["snapshot_id"] + 1
+        # the writer hashes by the PARENT snapshot's layout fields but must
+        # target the NEW bucket count: pass a shallow parent copy with the
+        # new n_buckets so _write_table_files routes into the new layout
+        parent_new_n = {**parent, "n_buckets": n_buckets}
+        tbls = {}
+        for name, tbl in parent["tables"].items():
+            state = _lww_reduce(
+                read_buckets_projected(
+                    self.spark, self.path, tbl, list(tbl["buckets"].keys())
+                ),
+                tbl["key_cols"],
+                tbl["order_cols"],
+            )
+            rel, written = self._write_table_files(
+                parent_new_n, new_id, name, state
+            )
+            new_tbl = {**tbl, "buckets": {}}
+            file_stats = self._collect_table_stats(new_tbl, rel, written)
+            for b in written:
+                fent = {
+                    "path": os.path.join(rel, f"_pb={b}"),
+                    "schema_id": tbl["current_schema_id"],
+                }
+                if b in file_stats:
+                    fent["stats"] = file_stats[b]
+                new_tbl["buckets"][b] = {"files": [fent]}
+            tbls[name] = new_tbl
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent["snapshot_id"],
+            "n_buckets": n_buckets,
+            "tables": tbls,
+            "manifests": parent["manifests"],
+            "metrics": {
+                "rebucket": {
+                    "from": parent["n_buckets"],
+                    "to": n_buckets,
+                    "rebucket_sec": round(time.time() - t0, 3),
+                }
+            },
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(snap, expected_parent=parent["snapshot_id"])
+        return {"status": "rebucketed", "snapshot_id": new_id, "n_buckets": n_buckets}
+
     # ------------------------------------------------------------ compaction
     def compact(self, max_files_per_bucket: int = 8, force: bool = False) -> dict:
         """Fold long delta chains per table (merge-on-read maintenance).

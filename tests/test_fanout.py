@@ -406,3 +406,32 @@ def test_tableset_rollback_and_read_asof(spark, tmp_path, log_df, oracle_hashes)
     replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
     assert _all_hashes(ts) == final_hashes
     assert ts.rollback(ts.latest()["snapshot_id"])["status"] == "noop"
+
+
+def test_tableset_rebucket_preserves_state_and_resumption(spark, tmp_path,
+                                                          log_df, oracle_hashes):
+    """Set-wide rebucket: one commit rewrites every table into the new
+    layout; state hashes unchanged, the replay resumes (manifests carried)
+    and converges to the oracle hashes, lookups route through the new
+    bucket count."""
+    ts = TransactionalTableSet(spark, str(tmp_path / "f11"), n_buckets=8)
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine",
+                  max_batches=2)
+    before = {n: ts.read(n).count() for n in ("source_code", "file_versions")}
+
+    res = ts.rebucket(16)
+    assert res["status"] == "rebucketed"
+    assert ts.latest()["n_buckets"] == 16
+    assert {n: ts.read(n).count() for n in before} == before
+    for tbl in ts.latest()["tables"].values():
+        if tbl["buckets"]:
+            assert max(int(b) for b in tbl["buckets"]) < 16
+
+    replay_fanout(log_df, ts, chunk_size=200, on_error="quarantine")
+    assert _all_hashes(ts) == {
+        k: oracle_hashes[k] for k in ("source_code", "file_versions")
+    }
+    # point lookup under the new layout
+    row = ts.read("source_code").first()
+    assert ts.lookup("source_code", repo=row["repo"], path=row["path"]).count() == 1
+    assert ts.rebucket(16)["status"] == "noop"
