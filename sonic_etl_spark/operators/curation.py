@@ -387,6 +387,57 @@ def sample_stratified(
     return df.where(h < bound_col)
 
 
+def mix_rates(
+    token_counts: dict[str, int],
+    target_tokens: int,
+    temperature: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum keep RATES that hit a total token budget under a
+    temperature-reweighted mix — the multilingual-sampling step (p_l ∝
+    n_l^τ; τ < 1 upweights low-resource strata, τ = 1 is proportional,
+    τ = 0 an equal split). Feed the result straight into
+    :func:`sample_stratified`.
+
+    Water-filling: a stratum whose share exceeds what it HAS caps at rate
+    1.0 and its unused budget is redistributed over the remaining strata
+    (iterated to fixpoint — at most one stratum leaves per round), so the
+    expected kept tokens equal ``min(target_tokens, total_tokens)`` rather
+    than silently undershooting. Pure driver-side arithmetic on the
+    (tiny) per-stratum count dict — deterministic, no data pass; get the
+    counts from one groupBy (e.g. token_count + groupBy(lang).sum()).
+    """
+    if target_tokens <= 0:
+        raise ValueError(f"mix_rates: target_tokens must be positive, got {target_tokens}")
+    if temperature < 0:
+        raise ValueError(f"mix_rates: temperature must be >= 0, got {temperature}")
+    counts = {k: int(v) for k, v in token_counts.items() if v > 0}
+    if not counts:
+        return {}
+    rates = {k: 1.0 for k in counts}
+    budget = float(target_tokens)
+    open_set = set(counts)
+    while open_set and budget > 0:
+        weights = {k: counts[k] ** temperature for k in open_set}
+        total_w = sum(weights.values())
+        capped = []
+        for k in sorted(open_set):  # sorted: deterministic tie handling
+            want = budget * weights[k] / total_w
+            if want >= counts[k]:
+                capped.append(k)
+        if not capped:
+            for k in open_set:
+                rates[k] = (budget * weights[k] / total_w) / counts[k]
+            break
+        for k in capped:
+            rates[k] = 1.0
+            budget -= counts[k]
+            open_set.discard(k)
+    else:
+        for k in open_set:
+            rates[k] = 0.0
+    return rates
+
+
 def sample_k_per_stratum(
     df: DataFrame,
     k: int,

@@ -247,3 +247,30 @@ def test_sample_k_per_stratum_exact_and_stable(spark):
     assert alls.count() == 110
     with pytest.raises(ValueError, match="positive"):
         sample_k_per_stratum(df, k=0)
+
+
+def test_mix_rates_temperature_and_waterfilling():
+    from sonic_etl_spark.operators.curation import mix_rates
+
+    counts = {"en": 8000, "de": 1000, "fr": 1000}
+    # tau=1: proportional — every stratum keeps the same fraction
+    r = mix_rates(counts, target_tokens=5000, temperature=1.0)
+    assert all(abs(v - 0.5) < 1e-9 for v in r.values())
+    # tau=0: equal split of the budget; small strata cap at 1.0 and their
+    # leftover refills the big one (water-filling)
+    r0 = mix_rates(counts, target_tokens=6000, temperature=0.0)
+    assert r0["de"] == 1.0 and r0["fr"] == 1.0
+    expected_en = (6000 - 2000) / 8000
+    assert abs(r0["en"] - expected_en) < 1e-9
+    # expected kept tokens hit the budget exactly
+    kept = sum(r0[k] * counts[k] for k in counts)
+    assert abs(kept - 6000) < 1e-6
+    # budget beyond the corpus: keep everything
+    assert mix_rates(counts, target_tokens=10**9) == {k: 1.0 for k in counts}
+    # low temperature upweights low-resource strata
+    r5 = mix_rates(counts, target_tokens=5000, temperature=0.5)
+    assert r5["de"] > r5["en"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        mix_rates(counts, 0)
+    assert mix_rates({}, 100) == {}
