@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> dict:
     from sonic_etl_spark.operators import curation, text
     from sonic_etl_spark.session import get_spark
 
+    # fail fast BEFORE any Spark work: an empty --split ('' parses to {})
+    # would skip the packing loop and crash on packs.write AFTER the corpus
+    # write already succeeded; same validation split_dataset applies later
+    curation._split_thresholds(args.split)
+
     spark = get_spark("curate-corpus")
     docs = spark.read.parquet(args.docs)
     report: dict = {"input_docs": docs.count()}

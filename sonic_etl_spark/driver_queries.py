@@ -1480,8 +1480,9 @@ SQL_VALUE_HISTOGRAM = f"""
 WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
      b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
      binned AS (
-       SELECT least(CAST(floor((v - lo) * {_HIST_BINS} / (hi - lo)) AS BIGINT),
-                    {_HIST_BINS - 1}) AS bin_idx, lo, hi
+       SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                   ELSE least(CAST(floor((v - lo) * {_HIST_BINS} / (hi - lo)) AS BIGINT),
+                              {_HIST_BINS - 1}) END AS bin_idx, lo, hi
        FROM v, b
      )
 SELECT bin_idx,

@@ -200,7 +200,7 @@ def pack_sequences(
     token_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_groups: int = 64,
+    n_groups: int | None = None,
     seed: str = "pack-v1",
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
@@ -214,11 +214,21 @@ def pack_sequences(
     result is identical at any partitioning or cluster size). Within a
     group, docs are packed first-fit-in-hash-order by one Arrow-batched
     ``applyInPandas`` pass: a doc joins the current pack unless that would
-    exceed ``budget``, else it starts the next pack. At 100 TB, n_groups
-    scales with the cluster (each group's pandas frame is corpus/n_groups);
-    sharding costs one shuffle and loses at most one partial pack per group
-    vs the sequential ideal — negligible waste for n_groups ≪ n_docs/
-    docs-per-pack.
+    exceed ``budget``, else it starts the next pack. Sharding costs one
+    shuffle and loses at most one partial pack per group vs the sequential
+    ideal — negligible waste for n_groups ≪ n_docs/docs-per-pack.
+
+    Memory model: each group's pandas frame holds corpus/n_groups rows of
+    FOUR long columns (doc_id, n_tokens, pack_group, _ord — the text never
+    enters pandas), ~32 bytes/row plus Arrow overhead. ``n_groups=None``
+    (default) derives ``max(2 × defaultParallelism, 64)`` so the per-group
+    frame shrinks as the cluster grows; a 10^10-doc corpus should pass
+    ``n_groups >= n_docs / 10^8`` explicitly (~32 GB of longs per group is
+    the ceiling you are sizing against). NOTE the assignment is a pure
+    function of (seed, id, n_groups) — the DERIVED default varies with
+    cluster size, so pin ``n_groups`` explicitly whenever byte-identical
+    packs across cluster sizes matter (the curate job and the driver gate
+    both do).
 
     A doc longer than ``budget`` gets a pack of its own (the only packs
     that can exceed budget — truncation is the tokenizer's job, not the
@@ -235,6 +245,11 @@ def pack_sequences(
 
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    if n_groups is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_groups = max(2 * par, 64)
+    if n_groups <= 0:
+        raise ValueError(f"pack_sequences: n_groups must be positive, got {n_groups}")
     toks = (
         F.col(token_col) if token_col is not None else word_count(F.col(text_col))
     )

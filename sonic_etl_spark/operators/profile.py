@@ -70,6 +70,7 @@ def group_percentiles(
     group_cols: Sequence[str],
     ps: Sequence[float] = (0.5, 0.9, 0.99),
     approx: bool = False,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Per-group percentiles: (group..., n_rows, p50, p90, p99, ...).
 
@@ -85,8 +86,28 @@ def group_percentiles(
     groups pass ``approx=True`` to use ``percentile_approx`` (bounded
     KLL-style sketch, rank error ≤ 1/accuracy — NOT cross-engine
     deterministic, so no oracle gate covers it).
+
+    ``max_group_rows`` (exact mode only): opt-in guard against the silent
+    executor OOM a pathologically hot group causes at 100×. One cheap
+    count-per-group + max pre-pass (map-side combined, O(groups) result);
+    raises with the offending size and points at ``approx=True`` instead of
+    letting the buffering aggregate die mid-shuffle.
     """
     group_cols = list(group_cols)
+    if not approx and max_group_rows is not None:
+        worst = (
+            df.groupBy(*group_cols)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+        ) or 0
+        if worst > max_group_rows:
+            raise ValueError(
+                f"group_percentiles: largest group holds {worst} rows "
+                f"> max_group_rows={max_group_rows}; exact mode buffers each "
+                "group's values in executor memory — pass approx=True "
+                "(bounded sketch) for unbounded groups"
+            )
     fn = "percentile_approx" if approx else "percentile_disc"
     aggs = [F.count("*").alias("n_rows")]
     for p in ps:
@@ -115,6 +136,9 @@ def equi_width_histogram(
     bin expression is ``floor((v - lo) * n / (hi - lo))`` in exactly that
     association so an independent engine evaluating the same formula gets
     bit-identical doubles (the DuckDB oracle mirrors it verbatim).
+
+    ``hi == lo`` (a constant column — a flag, a single-day slice) collapses
+    to ONE bin ``(0, lo, hi, n)`` instead of raising ANSI DIVIDE_BY_ZERO.
     """
     vals = df.select(F.col(col).cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
@@ -128,10 +152,16 @@ def equi_width_histogram(
             F.lit(float(lo)).alias("_lo"),
             F.lit(float(hi)).alias("_hi"),
         )
-    bin_idx = F.least(
-        F.floor((F.col("_v") - F.col("_lo")) * n_bins / (F.col("_hi") - F.col("_lo"))),
-        F.lit(n_bins - 1),
-    )
+    # hi == lo (constant column, single value, single-day slice) would be a
+    # DIVIDE_BY_ZERO under ANSI — collapse to one bin [lo, hi] instead
+    span = F.col("_hi") - F.col("_lo")
+    bin_idx = F.when(
+        span != 0,
+        F.least(
+            F.floor((F.col("_v") - F.col("_lo")) * n_bins / span),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
     return (
         vals.select(bin_idx.alias("bin_idx"), "_lo", "_hi")
         .groupBy("bin_idx", "_lo", "_hi")

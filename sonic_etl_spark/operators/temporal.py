@@ -84,20 +84,23 @@ def asof_join(
     Contract: right must be unique per (on, right_ts) — with duplicates the
     carried payload is the last in the engine's sort, which is
     nondeterministic across runs. Dedupe first (e.g. ``salted_lww``).
-    NULL ``left_ts`` rows never match (sorted first under ASC NULLS FIRST,
-    before any right row).
+    NULL ``left_ts`` rows never match (sorted before every right row in
+    both directions — ASC NULLS FIRST / DESC NULLS FIRST); NULL
+    ``right_ts`` rows are dropped (they can never be the nearest match).
 
-    ``bucket_sec`` (backward only): the hot-key escape hatch. The default
+    ``bucket_sec`` (both directions): the hot-key escape hatch. The default
     plan's window serializes each key into one task — correct, streaming,
     but a key holding 10^9 rows runs on one core. With ``bucket_sec`` set,
     the running scan is decomposed as a parallel prefix scan over time
     buckets: (1) within-(key, bucket) running last — hot key split across
-    buckets, parallel; (2) per-bucket last RIGHT payload, rolled forward
-    per key over the (small) bucket spine; (3) each left row coalesces its
-    within-bucket match with the carry-in from strictly-earlier buckets.
-    Identical results (asserted by test); costs ~2 extra shuffles of
-    bucket-level frames, so use it only when ``key_distribution`` says a
-    key is hot relative to bucket granularity.
+    buckets, parallel; (2) per-bucket nearest RIGHT payload (last for
+    backward, first for forward), rolled across the (small) bucket spine
+    per key; (3) each left row coalesces its within-bucket match with the
+    carry-in from strictly-earlier (backward) / strictly-later (forward)
+    buckets. Identical results (asserted by test); costs ~2 extra shuffles
+    of bucket-level frames, so use it only when ``key_distribution`` says a
+    key is hot relative to bucket granularity. Join keys must be non-NULL
+    in bucketed mode (the carry join is a plain equi-join).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -120,7 +123,10 @@ def asof_join(
         F.col(right_ts).alias(_TS_FIELD),
         *[F.col(c).alias(out_names[c]) for c in right_cols],
     )
-    r = right.select(
+    # NULL right_ts rows can never be the nearest match, and if kept they
+    # sort to the NULLS-FIRST edge of the window ahead of NULL-ts left rows
+    # (backward) and would be carried onto them as a fabricated payload
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(left_ts),
         payload.alias("_asof_payload"),
@@ -130,14 +136,19 @@ def asof_join(
     u = lf.unionByName(r, allowMissingColumns=True)
 
     if bucket_sec is not None:
-        if direction != "backward":
-            raise ValueError("bucket_sec is only supported with direction='backward'")
-        u = _bucketed_backward_scan(u, on, left_ts, float(bucket_sec))
+        u = _bucketed_scan(u, on, left_ts, float(bucket_sec), direction)
     else:
         # at equal ts the right row (side 0) sorts BEFORE the left row, so it
-        # is inside the running frame → inclusive (>= / <=) tie semantics
+        # is inside the running frame → inclusive (>= / <=) tie semantics.
+        # NULL left_ts rows must sort BEFORE every right row in both
+        # directions so the running last() has seen no payload yet: asc is
+        # nulls-first already, desc needs desc_nulls_first (plain desc() is
+        # desc_nulls_last — NULL rows would land AFTER all right rows and
+        # pick up the min-right_ts payload as a fabricated forward match).
         ts_order = (
-            F.col(left_ts).asc() if direction == "backward" else F.col(left_ts).desc()
+            F.col(left_ts).asc_nulls_first()
+            if direction == "backward"
+            else F.col(left_ts).desc_nulls_first()
         )
         w = (
             Window.partitionBy(*on)
@@ -161,59 +172,72 @@ def asof_join(
     return u.select(*sel)
 
 
-def _bucketed_backward_scan(
-    u: DataFrame, on: list[str], ts_col: str, bucket_sec: float
+def _bucketed_scan(
+    u: DataFrame, on: list[str], ts_col: str, bucket_sec: float, direction: str
 ) -> DataFrame:
-    """Parallel prefix-scan decomposition of the backward running-last scan
-    (the Blelloch two-phase scan, expressed in DataFrame ops):
+    """Parallel prefix-scan decomposition of the running-last scan (the
+    Blelloch two-phase scan, expressed in DataFrame ops):
 
     1. within-(key, time-bucket) running last — a hot key's rows split
        across buckets, so the serial unit shrinks from "all rows of the
        key" to "rows of the key within one bucket";
-    2. bucket summaries: last RIGHT payload per (key, bucket), rolled
-       forward per key over the bucket spine (a frame with one row per
-       non-empty bucket — the only remaining per-key serial scan, O(time
-       span / bucket_sec), independent of row count);
+    2. bucket summaries: the bucket's BEST right payload per (key, bucket)
+       (last for backward, first for forward), rolled across the (small)
+       bucket spine per key — the only remaining per-key serial scan,
+       O(time span / bucket_sec), independent of row count;
     3. each row's match = within-bucket running last, else the carry from
-       strictly-earlier buckets.
+       strictly-earlier (backward) / strictly-later (forward) buckets.
 
-    NULL-ts rows land in a sentinel bucket that sorts before all real
-    buckets and contains no right rows → NULL match, same as the default
-    plan. Caveat: join keys must be non-NULL in bucketed mode (the carry
-    join is a plain equi-join).
+    ``direction='forward'`` is the exact mirror: the within-bucket scan
+    runs over DESC time, summaries take the bucket's min-ts right payload,
+    and the carry rolls over the spine in DESC bucket order.
+
+    NULL-ts rows land in a sentinel bucket on the no-carry side of the
+    scan (before all real buckets for backward, after them for forward)
+    that contains no right rows (NULL right_ts rows are dropped upstream)
+    → NULL match, same as the default plan. Caveat: join keys must be
+    non-NULL in bucketed mode (the carry join is a plain equi-join).
     """
-    # sentinel keeps the bucket non-NULL so the carry equi-join never drops
-    sentinel = -(1 << 62)
+    backward = direction == "backward"
+    # sentinel keeps the bucket non-NULL so the carry equi-join never
+    # drops; its side guarantees NULL-ts rows receive no carry
+    sentinel = -(1 << 62) if backward else (1 << 62)
     u = u.withColumn(
         "_asof_bkt",
         F.coalesce(
             F.floor(_epoch_sec(F.col(ts_col)) / bucket_sec), F.lit(sentinel)
         ),
     )
+    ts_order = F.col(ts_col).asc() if backward else F.col(ts_col).desc_nulls_first()
     w_in = (
         Window.partitionBy(*on, "_asof_bkt")
-        .orderBy(F.col(ts_col).asc(), F.col("_asof_side").asc())
+        .orderBy(ts_order, F.col("_asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn(
         "_asof_within", F.last("_asof_payload", ignorenulls=True).over(w_in)
     )
-    # last right payload per (key, bucket) — right is unique per (key, ts)
-    bucket_last = (
+    # nearest right payload per (key, bucket) looking in the scan direction
+    # — right is unique per (key, ts)
+    best = F.max_by if backward else F.min_by
+    bucket_best = (
         u.where(F.col("_asof_side") == 0)
         .groupBy(*on, "_asof_bkt")
-        .agg(F.max_by("_asof_payload", F.col(ts_col)).alias("_asof_bkt_last"))
+        .agg(best("_asof_payload", F.col(ts_col)).alias("_asof_bkt_best"))
     )
     spine = u.select(*on, "_asof_bkt").distinct()
+    bkt_order = F.col("_asof_bkt").asc() if backward else F.col("_asof_bkt").desc()
     w_carry = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_bkt").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)  # strictly-earlier buckets
+        .orderBy(bkt_order)
+        # strictly-earlier (backward) / strictly-later (forward) buckets;
+        # last(ignorenulls) picks the NEAREST such bucket with a payload
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        spine.join(bucket_last, on=[*on, "_asof_bkt"], how="left")
+        spine.join(bucket_best, on=[*on, "_asof_bkt"], how="left")
         .withColumn(
-            "_asof_carry", F.last("_asof_bkt_last", ignorenulls=True).over(w_carry)
+            "_asof_carry", F.last("_asof_bkt_best", ignorenulls=True).over(w_carry)
         )
         .select(*on, "_asof_bkt", "_asof_carry")
     )

@@ -580,12 +580,21 @@ class TransactionalTableSet:
         def remap(cols):
             return [new_by_id.get(id_by_old.get(c, -1), c) for c in cols]
 
+        def remap_surviving(cols):
+            # stats_cols are droppable: a dropped column must leave the
+            # list, else every later merge fails collecting its min/max
+            return [
+                new_by_id[id_by_old[c]]
+                for c in cols
+                if c in id_by_old and id_by_old[c] in new_by_id
+            ]
+
         tbl["schemas"] = tbl["schemas"] + [new_schema]
         tbl["current_schema_id"] = new_schema["schema_id"]
         tbl["key_cols"] = remap(tbl["key_cols"])
         tbl["order_cols"] = remap(tbl["order_cols"])
         tbl["bucket_cols"] = remap(tbl["bucket_cols"])
-        tbl["stats_cols"] = remap(tbl.get("stats_cols", []))
+        tbl["stats_cols"] = remap_surviving(tbl.get("stats_cols", []))
         tbls[name] = tbl
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,

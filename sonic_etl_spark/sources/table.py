@@ -565,6 +565,16 @@ class TransactionalParquetTable:
         Files without stats for the column are conservatively kept. Sound
         here (the change feed is append-shaped); the LWW state read never
         file-prunes on stats.
+
+        ``reduced=True`` combined with ``where_between`` means **LWW among
+        the in-range changes only**: the range filter (row AND file level)
+        applies BEFORE the reduce, so a key whose newest change falls
+        outside the range reports its newest IN-RANGE change — NOT the
+        key's globally-latest state. That is the only semantic consistent
+        with zone-map file pruning (a pruned file by definition holds only
+        out-of-range rows, so pruning and the row filter agree); consumers
+        that need "latest state of keys touched in the range" must reduce
+        first themselves: ``read_changes(reduced=True)`` then filter.
         """
         to_snap = (
             self.latest()
@@ -1022,6 +1032,15 @@ class TransactionalParquetTable:
         id_by_old = {f["name"]: f["id"] for f in cur["fields"]}
         new_by_id = {f["id"]: f["name"] for f in fields}
         remap = lambda cols: [new_by_id.get(id_by_old.get(c, -1), c) for c in cols]
+        # stats_cols are droppable (unlike key/order): a dropped stats
+        # column must leave the list too, or every later merge would try to
+        # collect min/max of a column that no longer resolves. Keep only
+        # names whose field id survives in the new schema.
+        remap_surviving = lambda cols: [
+            new_by_id[id_by_old[c]]
+            for c in cols
+            if c in id_by_old and id_by_old[c] in new_by_id
+        ]
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
@@ -1030,7 +1049,7 @@ class TransactionalParquetTable:
             "n_buckets": parent.get("n_buckets", self.n_buckets),
             "key_cols": remap(parent["key_cols"]),
             "order_cols": remap(parent["order_cols"]),
-            "stats_cols": remap(parent.get("stats_cols", [])),
+            "stats_cols": remap_surviving(parent.get("stats_cols", [])),
             "buckets": parent["buckets"],
             "manifests": parent["manifests"],
             "metrics": {

@@ -60,3 +60,22 @@ def test_curate_job_end_to_end(spark, tmp_path):
     a = spark.read.parquet(os.path.join(out, "packs"))
     b = spark.read.parquet(os.path.join(out2, "packs"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_job_rejects_empty_or_bad_split(spark, tmp_path):
+    """r4 ADVICE: --split '' parsed to {}, the packing loop never ran, and
+    packs.write raised AttributeError AFTER the corpus write had already
+    succeeded. Now rejected before any Spark work."""
+    import pytest
+
+    from jobs.curate_job import main
+
+    base = [
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "x"),
+    ]
+    with pytest.raises(ValueError, match="non-empty"):
+        main([*base, "--split", ""])
+    with pytest.raises(ValueError, match="positive"):
+        main([*base, "--split", "train=0.9,val=0"])
+    assert not os.path.exists(str(tmp_path / "x"))  # failed before any write

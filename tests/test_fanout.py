@@ -435,3 +435,25 @@ def test_tableset_rebucket_preserves_state_and_resumption(spark, tmp_path,
     row = ts.read("source_code").first()
     assert ts.lookup("source_code", repo=row["repo"], path=row["path"]).count() == 1
     assert ts.rebucket(16)["status"] == "noop"
+
+
+def test_tableset_drop_stats_col_keeps_merges_working(spark, tmp_path):
+    """Set twin of the table-level r4 ADVICE fix: evolve(drop=stats_col)
+    must retire the name from stats_cols or every later merge_all fails
+    collecting min/max of a column that no longer resolves."""
+    from sonic_etl_spark.sources.multitable import TableSpec
+
+    ts = TransactionalTableSet(spark, str(tmp_path / "fs"), n_buckets=2)
+    ts.create({
+        "t": TableSpec(
+            fields=[("k", "string"), ("off", "bigint"), ("score", "double")],
+            key_cols=["k"], order_cols=["off"], stats_cols=["score"],
+        )
+    })
+    df = spark.createDataFrame([("a", 1, 0.5)], "k string, off bigint, score double")
+    ts.merge_all({"t": df}, [(0, 0, 9)])
+    ts.evolve("t", drop=["score"])
+    assert ts.latest()["tables"]["t"]["stats_cols"] == []
+    upd = spark.createDataFrame([("b", 2)], "k string, off bigint")
+    assert ts.merge_all({"t": upd}, [(0, 10, 19)])["status"] == "committed"
+    assert ts.read("t").count() == 2

@@ -697,3 +697,53 @@ def test_random_lifecycle_with_rollback_rebucket_matches_model(spark, tmp_path):
     got = {(r["repo"], r["path"]): r[content_col] for r in tab.read().collect()}
     want = {k: v for k, (o, v, kind) in model.items() if kind != "delete"}
     assert got == want
+
+
+def test_evolve_drop_stats_col_keeps_merges_working(spark, tmp_path):
+    """r4 ADVICE: dropping a stats column used to leave its stale name in
+    stats_cols (the rename remap falls back to the old name once the field
+    id vanishes), so every later merge raised UNRESOLVED_COLUMN inside
+    _collect_file_stats and orphaned its written files each attempt."""
+    fields = [("k", "string"), ("off", "bigint"), ("score", "double")]
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tab.create(fields, key_cols=["k"], order_cols=["off"],
+               stats_cols=["off", "score"])
+    base = tab.latest()["snapshot_id"]
+
+    def b(lo):
+        rows = [(f"k{lo + i}", lo + i, float(i)) for i in range(3)]
+        return spark.createDataFrame(rows, "k string, off bigint, score double")
+
+    tab.merge(b(0), [(0, 0, 9)])
+    tab.evolve(drop=["score"])
+    assert tab.latest()["stats_cols"] == ["off"]  # retired name left the list
+    upd = spark.createDataFrame(
+        [(f"k{10 + i}", 10 + i) for i in range(3)], "k string, off bigint"
+    )
+    assert tab.merge(upd, [(0, 10, 19)])["status"] == "committed"  # used to raise
+    assert tab.read().count() == 6
+    # the surviving stats col still collects and prunes
+    ch = tab.read_changes(base, where_between=("off", 10, 19))
+    assert sorted(r["off"] for r in ch.collect()) == [10, 11, 12]
+
+
+def test_read_changes_reduced_with_range_is_lww_among_in_range(spark, tmp_path):
+    """Documented semantic (r4 ADVICE): reduced + where_between = LWW among
+    the IN-RANGE changes only. A key whose newest change falls outside the
+    range reports its newest in-range change — NOT its global latest (the
+    only semantic consistent with zone-map file pruning). Consumers wanting
+    'latest state of keys touched in range' reduce first, then filter."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tab.create(FIELDS)
+    base = tab.latest()["snapshot_id"]
+    tab.merge(_df(spark, [("r", "a", "c1" * 20, "v1", "upsert", 1, 0)]),
+              [(0, 0, 9)], KEYS, ORDER)
+    tab.merge(_df(spark, [("r", "a", "c2" * 20, "v2", "upsert", 100, 0)]),
+              [(0, 10, 19)], KEYS, ORDER)
+    got = tab.read_changes(
+        base, reduced=True, where_between=("last_offset", 0, 50)
+    ).collect()
+    assert [(r["content"], r["last_offset"]) for r in got] == [("v1", 1)]
+    # without the range the same reduced read reports the global latest
+    allr = tab.read_changes(base, reduced=True).collect()
+    assert [r["content"] for r in allr] == ["v2"]

@@ -185,16 +185,18 @@ def test_asof_bucketed_equals_default_plan(spark):
              for k in (1, 2) for t in rng.sample(range(0, 5000), 60)]
     ldf = spark.createDataFrame(left, "k int, ts timestamp, lv double")
     rdf = spark.createDataFrame(right, "k int, ts timestamp, rv double").dropDuplicates(["k", "ts"])
-    base = temporal.asof_join(ldf, rdf, on="k", left_ts="ts", right_cols=["rv"])
-    bucketed = temporal.asof_join(
-        ldf, rdf, on="k", left_ts="ts", right_cols=["rv"], bucket_sec=600
-    )
-    assert bucketed.columns == base.columns
-    assert base.exceptAll(bucketed).count() == 0
-    assert bucketed.exceptAll(base).count() == 0
-    with pytest.raises(ValueError, match="backward"):
-        temporal.asof_join(ldf, rdf, on="k", left_ts="ts",
-                           direction="forward", bucket_sec=600)
+    for direction in ("backward", "forward"):
+        base = temporal.asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_cols=["rv"],
+            direction=direction,
+        )
+        bucketed = temporal.asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_cols=["rv"],
+            direction=direction, bucket_sec=600,
+        )
+        assert bucketed.columns == base.columns
+        assert base.exceptAll(bucketed).count() == 0
+        assert bucketed.exceptAll(base).count() == 0
 
 
 def test_asof_bucketed_tolerance_and_null_ts(spark):
@@ -274,3 +276,75 @@ def test_mix_rates_temperature_and_waterfilling():
     with _p.raises(ValueError):
         mix_rates(counts, 0)
     assert mix_rates({}, 100) == {}
+
+
+def test_equi_width_histogram_constant_column_single_bin(spark):
+    # hi == lo used to throw ANSI DIVIDE_BY_ZERO (flag columns, single-day
+    # slices); the contract is now ONE bin (0, lo, hi, n)
+    const = spark.createDataFrame([(7.0,), (7.0,), (7.0,)], "v double")
+    out = profile.equi_width_histogram(const, "v", n_bins=20).collect()
+    assert [(r["bin_idx"], r["bin_lo"], r["bin_hi"], r["n_rows"]) for r in out] == [
+        (0, 7.0, 7.0, 3)
+    ]
+    single = spark.createDataFrame([(42.0,)], "v double")
+    out1 = profile.equi_width_histogram(single, "v", n_bins=5).collect()
+    assert [(r["bin_idx"], r["n_rows"]) for r in out1] == [(0, 1)]
+    # explicit degenerate bounds take the same path
+    out2 = profile.equi_width_histogram(const, "v", n_bins=3, lo=7.0, hi=7.0).collect()
+    assert [(r["bin_idx"], r["n_rows"]) for r in out2] == [(0, 3)]
+    # empty input stays empty (no bounds row fabricated)
+    assert profile.equi_width_histogram(const.where("v > 99"), "v").count() == 0
+
+
+def test_asof_forward_null_ts_rows_never_match(spark):
+    # plain desc() is desc_nulls_last: NULL-ts left rows used to sort AFTER
+    # every right row and pick up the min-right_ts payload as a fabricated
+    # forward match (r4 ADVICE). Contract: NULL left_ts never matches.
+    left = spark.createDataFrame(
+        [(1, _ts(10), "real"), (1, None, "null-ts")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(50), 50.0)], "k int, ts timestamp, rv double"
+    )
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="ts", right_cols=["rv"], direction="forward"
+    )
+    got = {r["tag"]: r["rv"] for r in out.collect()}
+    assert got == {"real": 50.0, "null-ts": None}
+
+
+def test_asof_null_right_ts_rows_are_dropped(spark):
+    # a NULL right_ts row can never be the nearest match; if kept it sorts
+    # to the NULLS-FIRST edge and is carried onto NULL-ts left rows as a
+    # fabricated backward payload
+    left = spark.createDataFrame(
+        [(1, _ts(10), "real"), (1, None, "null-ts")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _ts(5), 5.0)], "k int, ts timestamp, rv double"
+    )
+    for kwargs in ({}, {"direction": "forward"}, {"bucket_sec": 60.0}):
+        out = temporal.asof_join(
+            left, right, on="k", left_ts="ts", right_cols=["rv"], **kwargs
+        )
+        got = {r["tag"]: r["rv"] for r in out.collect()}
+        want_real = 5.0 if "direction" not in kwargs else None
+        assert got == {"real": want_real, "null-ts": None}, kwargs
+
+
+def test_group_percentiles_max_group_rows_guard(spark):
+    # exact mode buffers each group in executor memory; the opt-in guard
+    # raises BEFORE the buffering aggregate instead of OOMing at 100×
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(50)] + [("cold", 1.0)],
+        "g string, v double",
+    )
+    with pytest.raises(ValueError, match="approx=True"):
+        profile.group_percentiles(df, "v", ["g"], max_group_rows=10)
+    # under the cap: normal result; approx mode never runs the pre-pass
+    ok = profile.group_percentiles(df, "v", ["g"], max_group_rows=100)
+    assert ok.count() == 2
+    ap = profile.group_percentiles(df, "v", ["g"], approx=True, max_group_rows=1)
+    assert ap.count() == 2

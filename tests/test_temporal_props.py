@@ -59,3 +59,46 @@ def test_asof_matches_pandas_merge_asof(spark):
             )
             got = {r["uid"]: r["rv"] for r in out.collect()}
             assert got == want, (seed, bucket, tol)
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """direction='forward' (next-event attribution), both physical plans:
+    default single-window and the bucket_sec mirror prefix scan."""
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        left = [
+            (k, _t(rng.randrange(0, 500)), i)
+            for i, k in enumerate(rng.choices([1, 2, 3], k=rng.randrange(1, 15)))
+        ]
+        right = []
+        for k in (1, 2, 3):
+            for ts in rng.sample(range(0, 500), rng.randrange(0, 10)):
+                right.append((k, _t(ts), float(ts)))
+        if not right:
+            right.append((1, _t(0), 0.0))
+        tol = rng.choice([None, 50])
+
+        lp = pd.DataFrame(left, columns=["k", "ts", "uid"])
+        rp = pd.DataFrame(right, columns=["k", "ts", "rv"])
+        m = pd.merge_asof(
+            lp.sort_values("ts"),
+            rp.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction="forward",
+            tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        )
+        want = {
+            row.uid: (None if pd.isna(row.rv) else row.rv)
+            for row in m.itertuples()
+        }
+
+        ldf = spark.createDataFrame(left, "k int, ts timestamp, uid int")
+        rdf = spark.createDataFrame(right, "k int, ts timestamp, rv double")
+        for bucket in (None, 120.0):
+            out = temporal.asof_join(
+                ldf, rdf, on="k", left_ts="ts", right_cols=["rv"],
+                direction="forward", tolerance_sec=tol, bucket_sec=bucket,
+            )
+            got = {r["uid"]: r["rv"] for r in out.collect()}
+            assert got == want, (seed, bucket, tol)

@@ -434,3 +434,27 @@ def test_ngram_containment_bounds(spark):
     assert out[2]["containment"] == 0.0
     assert out[1]["n_ngrams"] == 4 and out[1]["n_matched"] == 3
     assert out[1]["containment"] == 0.75
+
+
+def test_pack_sequences_auto_n_groups_scales_with_parallelism(spark):
+    """Default n_groups derives from defaultParallelism (≥ 64 floor) so the
+    per-group pandas frame shrinks as the cluster grows; explicit n_groups
+    keeps the pure-(seed,id) assignment contract byte-identical."""
+    from sonic_etl_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(300)], "doc_id long, text string"
+    )
+    auto = pack_sequences(docs, budget=64)
+    par = spark.sparkContext.defaultParallelism
+    expect = max(2 * par, 64)
+    groups = {r["pack_group"] for r in auto.select("pack_group").distinct().collect()}
+    assert groups <= set(range(expect))
+    assert max(groups) >= 8  # spread across many groups, not collapsed
+    # explicit n_groups: assignment unchanged vs itself under repartition
+    a = pack_sequences(docs, budget=64, n_groups=8).collect()
+    b = pack_sequences(docs.repartition(13), budget=64, n_groups=8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    import pytest as _p
+    with _p.raises(ValueError, match="n_groups"):
+        pack_sequences(docs, budget=64, n_groups=0)
