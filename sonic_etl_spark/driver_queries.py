@@ -1264,6 +1264,96 @@ SQL_STRATIFIED_SAMPLE = (
 )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing end-to-end (curation.mix_rates → sample_stratified):
+    per-lang whitespace-token counts → τ=0 water-filled keep rates hitting
+    a 40%-of-corpus token budget → deterministic hash sampling → per-lang
+    kept totals. τ=0 is the cross-engine float-safe leg: each rate reduces
+    to ((budget / n_open) / c) — two exactly-rounded IEEE divisions over
+    exact integers that the SQL mirror replays in the same association,
+    and the capped-set condition is pure integer arithmetic
+    (c·n_open ≤ budget). τ≠0 water-filling is pytest-covered (pow() is not
+    cross-engine bit-stable). The integer bound (rate × 2^60) rides the
+    output so the gate pins the rate DERIVATION, not just the sampled
+    aggregate. The per-lang count collect is O(strata) control-plane."""
+    from sonic_etl_spark.operators.text import word_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", word_count(F.col("text")).cast("long").alias("nt")
+    )
+    counts = {
+        r["lang"]: int(r["c"])
+        for r in toks.groupBy("lang").agg(F.sum("nt").alias("c")).collect()
+        if r["c"] and r["c"] > 0
+    }
+    target = sum(counts.values()) * 2 // 5
+    rates = curation_ops.mix_rates(counts, target, temperature=0.0)
+    bounds = curation_ops._sample_thresholds(rates, 0.0)
+    kept = curation_ops.sample_stratified(
+        toks, rates, stratum_col="lang", seed="mix-v1"
+    )
+    bexpr = None
+    for name in sorted(bounds):
+        cond = F.col("lang") == F.lit(name)
+        bexpr = (
+            F.when(cond, F.lit(bounds[name]))
+            if bexpr is None
+            else bexpr.when(cond, F.lit(bounds[name]))
+        )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("nt").alias("kept_tokens"),
+        )
+        .withColumn("bound", bexpr)
+        .select("lang", "bound", "kept_docs", "kept_tokens")
+    )
+
+
+_MIX_HASH = (
+    "CAST(CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) AS BIGINT)"
+)
+
+SQL_CORPUS_MIX = f"""
+WITH tok AS (
+  SELECT doc_id, lang, CAST({NWORDS_SQL} AS BIGINT) AS nt FROM documents),
+cnt AS (
+  SELECT lang, CAST(sum(nt) AS BIGINT) AS c FROM tok
+  GROUP BY lang HAVING sum(nt) > 0),
+tgt AS (SELECT (sum(c) * 2) // 5 AS t FROM cnt),
+-- water-filling closed form (tau=0): sort strata by count ascending; a
+-- stratum caps at rate 1 iff its count fits the equal split of the budget
+-- left after capping every smaller stratum — all-integer arithmetic
+ord AS (
+  SELECT lang, c,
+         count(*) OVER () AS n,
+         row_number() OVER (ORDER BY c, lang) AS j,
+         coalesce(sum(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM cnt),
+cap AS (SELECT ord.*, (c * (n - j + 1) <= t - pre) AS capped FROM ord, tgt),
+agg AS (
+  SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cap_sum,
+         sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS open_n
+  FROM cap),
+fin AS (
+  SELECT lang, c,
+         CASE WHEN capped THEN CAST(1152921504606846976 AS BIGINT)
+              ELSE CAST(round(((CAST(t - cap_sum AS DOUBLE) / open_n) / c)
+                              * 1152921504606846976) AS BIGINT) END AS bound
+  FROM cap, tgt, agg)
+SELECT fin.lang, fin.bound,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(tok.nt) AS BIGINT) AS kept_tokens
+FROM tok JOIN fin USING (lang)
+WHERE {_MIX_HASH} < fin.bound
+GROUP BY fin.lang, fin.bound
+"""
+
+
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (operators.temporal.asof_join): every click
     gets the user's most recent prior-or-simultaneous purchase — the general
@@ -1841,6 +1931,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pack_stats": (q_pack_stats, SQL_PACK_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # temporal / profiling
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
     "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),

@@ -348,3 +348,57 @@ def test_group_percentiles_max_group_rows_guard(spark):
     assert ok.count() == 2
     ap = profile.group_percentiles(df, "v", ["g"], approx=True, max_group_rows=1)
     assert ap.count() == 2
+
+
+def test_mix_rates_tau0_matches_sql_waterfilling_closed_form():
+    """The corpus_mix driver gate derives τ=0 water-filled bounds in SQL via
+    the sorted-prefix closed form (cap stratum j iff c_j·n_open ≤ budget
+    after capping all smaller strata). Fuzz it against the iterative Python
+    mix_rates over random count sets — the two must produce bit-identical
+    2^60 integer bounds, or the gate's hash comparison would flip docs."""
+    import random
+
+    import duckdb
+
+    from sonic_etl_spark.operators.curation import _sample_thresholds, mix_rates
+
+    sql = """
+WITH cnt AS (SELECT lang, c FROM counts WHERE c > 0),
+tgt AS (SELECT {t} AS t),
+ord AS (
+  SELECT lang, c, count(*) OVER () AS n,
+         row_number() OVER (ORDER BY c, lang) AS j,
+         coalesce(sum(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM cnt),
+cap AS (SELECT ord.*, (c * (n - j + 1) <= t - pre) AS capped FROM ord, tgt),
+agg AS (
+  SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cap_sum,
+         sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS open_n
+  FROM cap)
+SELECT lang,
+       CASE WHEN capped THEN CAST(1152921504606846976 AS BIGINT)
+            ELSE CAST(round(((CAST(t - cap_sum AS DOUBLE) / open_n) / c)
+                            * 1152921504606846976) AS BIGINT) END AS bound
+FROM cap, tgt, agg
+"""
+    rng = random.Random(5)
+    for trial in range(60):
+        n = rng.randrange(1, 9)
+        counts = {
+            f"l{i}": rng.choice([1, 2, 5, 10, 99, 10**3, 10**6, 10**9])
+            * rng.randrange(1, 50)
+            for i in range(n)
+        }
+        total = sum(counts.values())
+        t = max(1, total * rng.randrange(1, 100) // 100)
+        want = _sample_thresholds(mix_rates(counts, t, temperature=0.0), 0.0)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE counts AS SELECT * FROM (VALUES "
+            + ",".join(f"('{k}', {v}::BIGINT)" for k, v in counts.items())
+            + ") _v(lang, c)"
+        )
+        got = dict(con.execute(sql.format(t=t)).fetchall())
+        con.close()
+        assert got == want, (trial, counts, t)
