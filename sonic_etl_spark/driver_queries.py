@@ -993,6 +993,98 @@ GROUP BY 1
 """
 
 
+def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation on the CDC-out path
+    (operators.incremental.IncrementalCurator): the documents table arrives
+    as THREE batches (doc_id mod 3; arrival offset = batch·2^32 + doc_id,
+    so arrival order ≠ doc_id order and the earliest-ARRIVAL-wins rank
+    semantics are actually exercised); each batch is curated against the
+    persisted hash/bucket minima tables in O(batch) via bucket-pruned
+    point-reads, never O(corpus). The verdict stream (quality / exact_dup /
+    near_dup / kept per doc) must equal the oracle's ONE-SHOT global
+    recompute of the same order-independent rule — the incremental ==
+    full-recompute convergence claim, driver-checked. State lives in a
+    per-process mkdtemp; batch synthesis is a pure function of the table."""
+    import tempfile
+
+    from sonic_etl_spark.operators.incremental import IncrementalCurator
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 3) * F.lit(4294967296) + F.col("doc_id")).alias(
+            "off"
+        ),
+    )
+    cur = IncrementalCurator(
+        spark, tempfile.mkdtemp(prefix="incr_cur_"), n_buckets=8
+    ).create()
+    for k in range(3):
+        cur.apply(base.where(F.col("doc_id") % 3 == k))
+    return cur.verdicts.read().select("doc_id", "off", "reason")
+
+
+def _incr_curation_sql(min_words: int = 5, max_punct: float = 0.3) -> str:
+    k, bands = dedup_ops.MINHASH_K, dedup_ops.LSH_BANDS
+    rpb = k // bands
+    mh_cols = ", ".join(
+        f"min(substr(md5('{j}:' || shingle), 1, 15)) AS mh{j}" for j in range(k)
+    )
+    sep = " || '|' || "
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'mh{b * rpb + r}' for r in range(rpb))}) AS bucket FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (doc_id % 3) * 4294967296 + doc_id AS off
+  FROM documents),
+flags AS (
+  SELECT doc_id, text, off,
+         {NWORDS_SQL} AS n_words,
+         round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               / greatest(length(text), 1), 4) AS punct_ratio
+  FROM d),
+qp AS (SELECT doc_id, text, off FROM flags
+       WHERE n_words >= {min_words} AND punct_ratio <= {max_punct}),
+fp AS (SELECT doc_id, off,
+              sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+       FROM qp),
+sha_min AS (SELECT f, min(off) AS m FROM fp GROUP BY f),
+canon AS (SELECT qp.doc_id, qp.text, qp.off
+          FROM qp, fp, sha_min
+          WHERE qp.doc_id = fp.doc_id AND fp.f = sha_min.f AND fp.off = sha_min.m),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM canon)
+  )),
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+bt AS (SELECT bands.doc_id, band, bucket, canon.off
+       FROM bands, canon WHERE bands.doc_id = canon.doc_id),
+bmin AS (SELECT band, bucket, min(off) AS bm FROM bt GROUP BY 1, 2),
+nd AS (SELECT bt.doc_id, max(CASE WHEN bmin.bm < bt.off THEN 1 ELSE 0 END) AS near
+       FROM bt, bmin
+       WHERE bt.band = bmin.band AND bt.bucket = bmin.bucket
+       GROUP BY 1)
+SELECT flags.doc_id, CAST(flags.off AS BIGINT) AS off,
+       CASE WHEN NOT (n_words >= {min_words} AND punct_ratio <= {max_punct})
+              THEN 'quality'
+            WHEN canon.doc_id IS NULL THEN 'exact_dup'
+            WHEN coalesce(nd.near, 0) = 1 THEN 'near_dup'
+            ELSE 'kept' END AS reason
+FROM flags
+LEFT JOIN canon ON canon.doc_id = flags.doc_id
+LEFT JOIN nd ON nd.doc_id = flags.doc_id
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters (the dedup last mile): connected components over the
     LSH near-dup pairs via hash-min label propagation
@@ -1927,6 +2019,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
+    "incremental_curation": (q_incremental_curation, _incr_curation_sql()),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pack_stats": (q_pack_stats, SQL_PACK_STATS),

@@ -475,6 +475,44 @@ class TransactionalParquetTable:
             df = df.filter(~F.col("op").eqNullSafe("delete"))
         return df
 
+    def read_for_keys(self, keys: DataFrame) -> DataFrame:
+        """Batch point-read (the incremental-join primitive): LWW state
+        restricted to the storage buckets that could hold any key in
+        ``keys`` — a frame carrying the table's key columns (extra columns
+        ignored). Cost is (touched buckets / n_buckets) of the table: a
+        small batch joined against a 100 TB state table reads only the
+        buckets the batch's keys hash into, never the table. With
+        ``n_buckets`` sized ∝ corpus (rebucket() as it grows), per-batch
+        I/O stays ∝ batch, which is what makes incremental maintenance
+        (operators/incremental.py) O(new docs).
+
+        The bucket-id collect is O(distinct touched buckets) ≤ n_buckets —
+        control-plane, never data rows. Returns the same shape as
+        :meth:`read` (tombstones filtered); the caller joins the result
+        against its batch on the key columns.
+        """
+        snap = self.latest()
+        if snap is None:
+            raise FileNotFoundError(f"table {self.path} does not exist")
+        kc = snap["key_cols"]
+        missing = [c for c in kc if c not in keys.columns]
+        if missing:
+            raise KeyError(
+                f"read_for_keys: keys frame lacks key columns {missing}"
+            )
+        n_buckets = snap.get("n_buckets", self.n_buckets)
+        bids = [
+            str(r["b"])
+            for r in keys.select(_bucket_expr(n_buckets, kc).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        bids = [b for b in bids if b in snap["buckets"]]
+        df = _lww_reduce(self._read_buckets(snap, bids), kc, snap["order_cols"])
+        if "op" in df.columns:
+            df = df.filter(~F.col("op").eqNullSafe("delete"))
+        return df
+
     def read_asof(self, ts: float) -> DataFrame:
         """Time travel by wall clock: the converged state as of the latest
         snapshot committed at or before ``ts`` (epoch seconds). Bounded by

@@ -1,0 +1,138 @@
+"""Incremental curation (operators/incremental.py): the 3-batch arrival
+sequence must converge to the SAME per-doc verdicts as one global recompute
+of the order-independent rule (hash equality), stay idempotent under
+redelivery, heal a crash between the minima and verdict merges, and tail a
+source table's CDC-out stream through read_changes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sonic_etl_spark.operators.incremental import IncrementalCurator, curate_full
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen curious "
+    "researchers carefully measure every single token frequency in this "
+    "deliberately verbose synthetic paragraph about data pipelines"
+)
+
+
+def _corpus():
+    """(doc_id, text, off) rows covering every verdict class; arrival order
+    (off) deliberately differs from doc_id order."""
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{BASE} variant {i}", 100 + i))
+    # exact dups of doc 3 (same normalized text), arriving LATER
+    rows.append((40, f"{BASE} variant 3", 200))
+    rows.append((41, f"  {BASE} variant 3 ", 201))  # normalization dup
+    # near dup: one token changed → shares most shingles/bands with doc 5
+    rows.append((42, f"{BASE} variant 5 extra", 202))
+    # quality fails: too short / too punctuated
+    rows.append((43, "tiny", 203))
+    rows.append((44, "!!! ??? ;;; ::: @@@ ###", 204))
+    # a dup whose CANONICAL arrives later in doc_id but earlier in off
+    rows.append((45, "completely unique text with many plain words here ok", 50))
+    rows.append((46, "completely unique text with many plain words here ok", 60))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, off long")
+
+
+def _verdict_map(df):
+    return {r["doc_id"]: (r["off"], r["kept"], r["reason"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def full(spark):
+    return _verdict_map(curate_full(_df(spark, _corpus())))
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path, full):
+    rows = sorted(_corpus(), key=lambda r: r[2])  # arrival order
+    batches = [rows[:12], rows[12:25], rows[25:]]
+    cur = IncrementalCurator(spark, str(tmp_path / "c1"), n_buckets=4).create()
+    for b in batches:
+        res = cur.apply(_df(spark, b))
+        assert res["status"] == "committed"
+    got = _verdict_map(cur.verdicts.read())
+    assert got == full
+    # the corpus exercises every verdict class
+    reasons = {v[2] for v in got.values()}
+    assert reasons == {"kept", "exact_dup", "near_dup", "quality"}
+    # earliest ARRIVAL is canonical, not smallest doc_id
+    assert got[45][2] == "kept" and got[46][2] == "exact_dup"
+
+
+def test_incremental_redelivery_is_noop(spark, tmp_path, full):
+    rows = sorted(_corpus(), key=lambda r: r[2])
+    b1, b2 = rows[:20], rows[20:]
+    cur = IncrementalCurator(spark, str(tmp_path / "c2"), n_buckets=4).create()
+    cur.apply(_df(spark, b1))
+    cur.apply(_df(spark, b2))
+    sid = cur.verdicts.latest()["snapshot_id"]
+    res = cur.apply(_df(spark, b2))  # full redelivery
+    assert res["merges"] == ("skipped", "skipped", "skipped")
+    assert cur.verdicts.latest()["snapshot_id"] == sid
+    assert _verdict_map(cur.verdicts.read()) == full
+
+
+def test_incremental_heals_crash_between_merges(spark, tmp_path, full):
+    """Crash after the minima merges but before the verdict merge: the
+    redelivered batch sees ITSELF in prior state and must produce identical
+    verdicts (the <= self-rank rule)."""
+    rows = sorted(_corpus(), key=lambda r: r[2])
+    b1, b2 = rows[:20], rows[20:]
+    cur = IncrementalCurator(spark, str(tmp_path / "c3"), n_buckets=4).create()
+    cur.apply(_df(spark, b1))
+
+    orig = cur.verdicts.merge
+    boom = RuntimeError("injected crash before verdict merge")
+
+    def failing(*a, **kw):
+        raise boom
+
+    cur.verdicts.merge = failing
+    with pytest.raises(RuntimeError, match="injected"):
+        cur.apply(_df(spark, b2))
+    cur.verdicts.merge = orig
+    res = cur.apply(_df(spark, b2))  # redelivery heals
+    assert res["merges"] == ("skipped", "skipped", "committed")
+    assert _verdict_map(cur.verdicts.read()) == full
+
+
+def test_sync_tails_source_table_cdc_out(spark, tmp_path, full):
+    from sonic_etl_spark.sources.table import TransactionalParquetTable
+
+    src = TransactionalParquetTable(spark, str(tmp_path / "src"), n_buckets=4)
+    src.create(
+        [("doc_id", "bigint"), ("text", "string"), ("last_offset", "bigint")],
+        key_cols=["doc_id"],
+        order_cols=["last_offset"],
+    )
+    rows = sorted(_corpus(), key=lambda r: r[2])
+    cur = IncrementalCurator(spark, str(tmp_path / "c4"), n_buckets=4).create()
+    for i, lo in enumerate(range(0, len(rows), 13)):
+        chunk = rows[lo : lo + 13]
+        src.merge(
+            spark.createDataFrame(
+                chunk, "doc_id long, text string, last_offset long"
+            ),
+            [(0, i * 1000, i * 1000 + 999)],
+        )
+        res = cur.sync(src)
+        assert res["status"] == "committed"
+    assert cur.sync(src)["status"] == "noop"  # frontier caught up
+    assert _verdict_map(cur.verdicts.read()) == full
+
+
+def test_apply_empty_batch_and_all_quality_fail(spark, tmp_path):
+    cur = IncrementalCurator(spark, str(tmp_path / "c5"), n_buckets=2).create()
+    empty = spark.createDataFrame([], "doc_id long, text string, off long")
+    assert cur.apply(empty)["status"] == "no_data"
+    bad = _df(spark, [(1, "x", 10), (2, "??!", 11)])
+    res = cur.apply(bad)
+    assert res["status"] == "committed"
+    got = _verdict_map(cur.verdicts.read())
+    assert got == {1: (10, False, "quality"), 2: (11, False, "quality")}

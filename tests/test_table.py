@@ -747,3 +747,30 @@ def test_read_changes_reduced_with_range_is_lww_among_in_range(spark, tmp_path):
     # without the range the same reduced read reports the global latest
     allr = tab.read_changes(base, reduced=True).collect()
     assert [r["content"] for r in allr] == ["v2"]
+
+
+def test_read_for_keys_prunes_to_touched_buckets(spark, tmp_path):
+    """Batch point-read: only the storage buckets the key frame hashes into
+    are opened — the primitive that makes incremental joins O(batch)."""
+    tab = TransactionalParquetTable(spark, str(tmp_path / "t"), n_buckets=16)
+    tab.create(FIELDS)
+    rows = [(f"r{i}", f"p{i}", f"c{i:02d}" * 10, f"v{i}", "upsert", i, 0)
+            for i in range(64)]
+    tab.merge(_df(spark, rows), [(0, 0, 63)], KEYS, ORDER)
+
+    keys = spark.createDataFrame([("r7", "p7"), ("r9", "p9")],
+                                 "repo string, path string")
+    hit = tab.read_for_keys(keys)
+    got = {(r["repo"], r["path"]): r["content"] for r in hit.collect()}
+    assert got[("r7", "p7")] == "v7" and got[("r9", "p9")] == "v9"
+    # strictly fewer files than the full state read (bucket pruning, not a
+    # post-hoc filter) — 2 keys touch ≤ 2 of 16 buckets
+    assert 0 < len(hit.inputFiles()) < len(tab.read().inputFiles())
+    # LWW semantics preserved inside the touched bucket
+    tab.merge(_df(spark, [("r7", "p7", "cZ" * 10, "v7b", "upsert", 99, 0)]),
+              [(0, 99, 99)], KEYS, ORDER)
+    again = tab.read_for_keys(keys)
+    assert {r["content"] for r in again.where("repo = 'r7'").collect()} == {"v7b"}
+    # missing key columns refused
+    with pytest.raises(KeyError, match="key columns"):
+        tab.read_for_keys(spark.createDataFrame([("r1",)], "repo string"))
