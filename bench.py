@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "redact_pii",
     "ngram_containment",
     "scd2_intervals",
+    "corpus_mix",
+    "incremental_curation",
 ]
 
 

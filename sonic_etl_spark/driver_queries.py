@@ -1979,7 +1979,26 @@ FROM cls WHERE decode_error IS NOT NULL GROUP BY 1
 """
 
 
+# Registry ORDER is load-bearing: the driver executes only the FIRST 50
+# entries each round (the r4 lesson — the flagship gates sat at positions
+# 51-56 and got no CORRECTNESS_r4 row). Discipline: flagship end-to-end
+# claims first, new-this-round gates next, the rest by family; the tail
+# past position 50 holds ONLY queries whose operator is also verified by an
+# in-window sibling (same oracle or a superset query) and that were
+# triple-green in a prior driver round — tools/crosscheck.py still covers
+# them locally.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    # flagship end-to-end claims (converged CDC replay, atomic fan-out,
+    # dead-letter, media plumbing, IVF ANN) — driver-verified EVERY round
+    "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
+    "fanout_invariants": (q_fanout_invariants, SQL_FANOUT_INVARIANTS),
+    "quarantine_by_class": (q_quarantine_by_class, SQL_QUARANTINE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
+    # new in r5
+    "incremental_curation": (q_incremental_curation, _incr_curation_sql()),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # CDC / SURVEY §2 core
     "lww_converge": (q_lww_converge, SQL_LWW),
     "gap_missing": (q_gap_missing, SQL_GAP),
@@ -2000,34 +2019,25 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, _lang_id_sql()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "winnow_overlap_pairs": (q_winnow_overlap, _winnow_sql()),
     "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
     "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
-    "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_top_pairs": (q_ngram_top_pairs, SQL_NGRAM_PAIRS),
     "minhash_lsh_buckets": (q_minhash_buckets, _minhash_sql()),
     "simhash16": (q_simhash, _simhash_sql()),
     # similarity
     "emb_cosine_topk": (q_emb_topk, SQL_EMB_TOPK),
-    "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_PAIRS),
-    "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
-    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
     "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
-    "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
-    "incremental_curation": (q_incremental_curation, _incr_curation_sql()),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "pack_stats": (q_pack_stats, SQL_PACK_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
+    "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
     # temporal / profiling
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
-    "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "sample_k_per_lang": (q_sample_k_per_lang, SQL_SAMPLE_K),
@@ -2036,12 +2046,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "group_percentiles": (q_group_percentiles, SQL_GROUP_PERCENTILES),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
-    "ann_topk_lsh": (q_ann_topk_lsh, _ann_topk_lsh_sql()),
-    "ann_topk_ivf": (q_ann_topk_ivf, _ann_topk_ivf_sql()),
-    # rows-only (non-SQL-expressible: media codec stages)
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "cdc_replay_converged": (q_cdc_replay, SQL_CDC_REPLAY),
-    "fanout_invariants": (q_fanout_invariants, SQL_FANOUT_INVARIANTS),
-    "quarantine_by_class": (q_quarantine_by_class, SQL_QUARANTINE),
+    # ---- position 51+ (outside the driver's 50-query window): every entry
+    # below has an in-window sibling verifying the same operator and was
+    # triple-green in CORRECTNESS_r04; crosscheck.py keeps them honest
+    "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
+    "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),
+    "pack_stats": (q_pack_stats, SQL_PACK_STATS),
+    "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
+    "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_PAIRS),
+    "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "winnow_overlap_pairs": (q_winnow_overlap, _winnow_sql()),
 }
