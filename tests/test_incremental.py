@@ -136,3 +136,38 @@ def test_apply_empty_batch_and_all_quality_fail(spark, tmp_path):
     assert res["status"] == "committed"
     got = _verdict_map(cur.verdicts.read())
     assert got == {1: (10, False, "quality"), 2: (11, False, "quality")}
+
+
+def test_incremental_curate_job_cli(spark, tmp_path, full):
+    """jobs/incremental_curate_job.py: per-arrival CLI twin of curate_job —
+    two invocations over a growing source table converge to the full
+    recompute; a third is a frontier noop."""
+    from jobs.incremental_curate_job import main
+    from sonic_etl_spark.sources.table import TransactionalParquetTable
+
+    src = TransactionalParquetTable(spark, str(tmp_path / "src"), n_buckets=4)
+    src.create(
+        [("doc_id", "bigint"), ("text", "string"), ("last_offset", "bigint")],
+        key_cols=["doc_id"],
+        order_cols=["last_offset"],
+    )
+    rows = sorted(_corpus(), key=lambda r: r[2])
+    args = ["--source", str(tmp_path / "src"), "--state", str(tmp_path / "st"),
+            "--n-buckets", "4"]
+    for i, lo in enumerate(range(0, len(rows), 19)):
+        src.merge(
+            spark.createDataFrame(
+                rows[lo : lo + 19], "doc_id long, text string, last_offset long"
+            ),
+            [(0, i * 1000, i * 1000 + 999)],
+        )
+        rep = main(args)
+        assert rep["sync"]["status"] == "committed"
+    rep = main(args)
+    assert rep["sync"]["status"] == "noop"
+    got = _verdict_map(
+        IncrementalCurator(spark, str(tmp_path / "st"), n_buckets=4)
+        .verdicts.read()
+    )
+    assert got == full
+    assert sum(rep["verdict_totals"].values()) == len(rows)
