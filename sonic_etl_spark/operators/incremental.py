@@ -141,6 +141,13 @@ class IncrementalCurator:
         only ever compares against SMALLER ranks, and a partially-merged
         redelivery sees its own rows in state, which the min-union makes a
         no-op) and every merge skips or completes.
+
+        Documents are treated as immutable facts keyed by (doc_id, off): if
+        a CDC update RE-WRITES a doc_id with new text at a higher offset,
+        the verdicts table keeps the latest offset's verdict (its LWW order
+        is ``off``) while the minima tables retain BOTH versions' signature
+        occupancy (occupancy is append-only — a retracted text's buckets
+        are not vacated, the conservative choice for dedup).
         """
         b = batch.select(
             F.col("doc_id").cast("long").alias("doc_id"),

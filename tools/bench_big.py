@@ -37,7 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BIG_EVENTS", "50000000"))
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOG_DIR = f"/tmp/bench_change_log_{N_EVENTS}"
-CHUNK = max(N_EVENTS // 25, 1)  # ~25 batches → several compaction rounds
+# chunk_size is PER-PARTITION offsets; the synthesized log has 8
+# partitions, so per-batch rows = 8 × chunk. N//400 → 1M-row batches, 50
+# rounds: enough commits that every bucket's delta chain crosses
+# compact_threshold=16 repeatedly — the sustained-load maintenance story.
+# (A first attempt at 16M-row batches blew the 8g default heap — Java OOM
+# in the decode stage at 32 concurrent tasks; batch size is the lever.)
+CHUNK = max(N_EVENTS // 400, 1)
+# headroom for the 50-commit snapshot bookkeeping + 64-bucket merge sorts
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 
 def main() -> None:
