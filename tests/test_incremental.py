@@ -171,3 +171,40 @@ def test_incremental_curate_job_cli(spark, tmp_path, full):
     )
     assert got == full
     assert sum(rep["verdict_totals"].values()) == len(rows)
+
+
+def test_stream_curate_matches_full_and_rebatched_redelivery(spark, tmp_path, full):
+    """Structured-Streaming twin (streaming/curate.stream_curate): draining
+    the arrival directory converges to the full-recompute verdicts; a
+    FRESH-checkpoint redelivery with a different maxFilesPerTrigger (the
+    re-batched case) leaves the verdict stream byte-identical — the rule is
+    idempotent by value, not just by manifest."""
+    import os
+
+    from sonic_etl_spark.streaming.curate import stream_curate
+
+    rows = sorted(_corpus(), key=lambda r: r[2])
+    docs_dir = str(tmp_path / "arrivals")
+    os.makedirs(docs_dir)
+    # producer contract: files written in offset order
+    for i, lo in enumerate(range(0, len(rows), 9)):
+        _df(spark, rows[lo : lo + 9]).coalesce(1).write.mode("append").parquet(
+            docs_dir
+        )
+    cur = IncrementalCurator(spark, str(tmp_path / "c6"), n_buckets=4).create()
+    q = stream_curate(
+        spark, docs_dir, cur,
+        checkpoint_dir=str(tmp_path / "ck1"), max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    assert _verdict_map(cur.verdicts.read()) == full
+
+    # fresh checkpoint + different batching → re-delivers everything,
+    # re-batched; verdicts and state must not change
+    before = _verdict_map(cur.verdicts.read())
+    q2 = stream_curate(
+        spark, docs_dir, cur,
+        checkpoint_dir=str(tmp_path / "ck2"), max_files_per_trigger=5,
+    )
+    q2.awaitTermination()
+    assert _verdict_map(cur.verdicts.read()) == before == full
