@@ -1487,6 +1487,47 @@ SELECT c.user_id,
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
+def q_asof_enrich_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='forward' (next-event attribution: every click gets the
+    user's NEXT purchase at-or-after it) — new in r5 alongside the
+    forward bucket_sec plan. Oracle: DuckDB ASOF LEFT JOIN with the
+    mirrored inequality (``c.ts <= p.ts``), an independent implementation
+    of the same inclusive semantics; the bucketed forward plan is
+    property-tested equal (tests/test_temporal_props.py)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = temporal_ops.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_cols=["value"], suffix="_purchase", direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("click_ts_epoch"),
+        F.round(F.col("value"), 2).alias("click_value"),
+        F.round(F.col("value_purchase"), 2).alias("purchase_value"),
+        F.unix_timestamp("ts_purchase").alias("purchase_ts_epoch"),
+    )
+
+
+SQL_ASOF_ENRICH_FWD = """
+WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       c.event_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_epoch,
+       round(c.value, 2) AS click_value,
+       round(p.value, 2) AS purchase_value,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_epoch
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def q_asof_enrich_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME point-in-time join through the hot-key physical plan
     (``bucket_sec``: parallel prefix scan over day buckets) — value-gated
@@ -2051,6 +2092,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # triple-green in CORRECTNESS_r04; crosscheck.py keeps them honest
     "dup_clusters_star": (q_dup_clusters_star, _dup_clusters_sql()),
     "asof_enrich_bucketed": (q_asof_enrich_bucketed, SQL_ASOF_ENRICH),
+    "asof_enrich_fwd": (q_asof_enrich_fwd, SQL_ASOF_ENRICH_FWD),
     "pack_stats": (q_pack_stats, SQL_PACK_STATS),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "emb_top_pairs": (q_emb_top_pairs, SQL_EMB_PAIRS),
