@@ -886,6 +886,50 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_i
 """
 
 
+def q_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF ANN index
+    (operators.incremental.IncrementalIvfIndex): embeddings arrive as THREE
+    batches (vec_id mod 3; offset = batch·2^32 + vec_id) against a
+    quantizer PINNED at index creation; per-vector assignment is a pure
+    function of (vector, centroids), so the maintained postings state must
+    equal the one-shot ``ivf_assign`` over the whole table — the SAME
+    oracle SQL as the ivf_assign gate verifies the incremental claim.
+    State in a per-process mkdtemp; batch synthesis pure in the table."""
+    import tempfile
+
+    from sonic_etl_spark.operators.incremental import IncrementalIvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IncrementalIvfIndex(
+        spark, tempfile.mkdtemp(prefix="incr_ivf_"), n_buckets=8
+    ).create(sim_ops.seed_centroids(emb, 16))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") % 3) * F.lit(4294967296) + F.col("vec_id")).alias(
+            "off"
+        ),
+    )
+    for k in range(3):
+        idx.apply(base.where(F.col("vec_id") % 3 == k))
+    return idx.cells().select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("centroid_cos").alias("centroid_cos"),
+    )
+
+
+SQL_INCR_IVF = f"""
+WITH c AS (SELECT vec_id AS centroid_id, {NORM_SQL} AS cv FROM embeddings WHERE vec_id < 16),
+v AS (SELECT vec_id, {NORM_SQL} AS nv FROM embeddings),
+s AS (
+  SELECT vec_id, centroid_id, round(list_dot_product(nv, cv), 6) AS cos_sim
+  FROM v, c)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, cos_sim AS centroid_cos
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+"""
+
+
 def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.lsh_buckets(_t(spark, sf_dir, "embeddings"))
 
@@ -2059,7 +2103,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, _lang_id_sql()),
-    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "catalog_decode": (q_catalog_decode, _catalog_decode_sql()),
     "catalog_args_json": (q_catalog_args_json, _catalog_args_sql()),
     # dedup
@@ -2070,6 +2113,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "simhash16": (q_simhash, _simhash_sql()),
     # similarity
     "emb_cosine_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "incremental_ivf": (q_incremental_ivf, SQL_INCR_IVF),
     "near_dup_pairs": (q_near_dup_pairs, _near_dup_sql()),
     "dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
@@ -2099,4 +2143,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_buckets": (q_ann_buckets, _ann_buckets_sql()),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "winnow_overlap_pairs": (q_winnow_overlap, _winnow_sql()),
+    # doc_fingerprint's operator (text.fingerprint) is exercised in-window
+    # inside incremental_curation's exact-dedup stage and by exact_dedup
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }

@@ -320,6 +320,127 @@ class IncrementalCurator:
         return {**res, "snapshot_id": to_id}
 
 
+class IncrementalIvfIndex:
+    """Incrementally-maintained IVF (inverted-file) ANN index over an
+    embedding stream: the similarity-search sibling of
+    :class:`IncrementalCurator`.
+
+    State: a ``postings`` table (vec_id → centroid cell + cosine, LWW by
+    arrival offset) plus the centroid set PERSISTED at creation — the
+    quantizer must be pinned, or per-batch-derived centroids would make
+    the incremental index diverge from a full rebuild. Assignment per
+    vector is a pure function of (vector, centroids) (broadcast argmax
+    cosine, ``similarity.ivf_assign`` — no corpus shuffle), so the index
+    after any batch sequence equals ``ivf_assign`` over the corpus
+    (pytest + driver gate ``incremental_ivf``); a re-written vector's cell
+    follows the latest offset via LWW, and deletes ride ``op='delete'``
+    tombstones like any table. Per batch: O(batch × n_centroids) compute,
+    one O(batch) merge. Serving reads (:meth:`cells`) feed the same
+    multi-probe search shape as ``ann_topk_ivf``.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.postings = TransactionalParquetTable(
+            spark, os.path.join(path, "postings"), n_buckets
+        )
+        self._cent_path = os.path.join(path, "centroids")
+
+    def create(self, centroids: DataFrame) -> "IncrementalIvfIndex":
+        """``centroids``: (centroid_id, cv) — e.g. ``seed_centroids`` or
+        ``ivf_train`` output over a bootstrap corpus. Written once;
+        subsequent create() calls keep the existing quantizer (retraining
+        is a REBUILD: new index dir, replay the stream)."""
+        if not os.path.exists(os.path.join(self._cent_path, "_SUCCESS")):
+            centroids.write.mode("overwrite").parquet(self._cent_path)
+        self.postings.create(
+            [
+                ("vec_id", "bigint"),
+                ("off", "bigint"),
+                ("centroid_id", "bigint"),
+                ("centroid_cos", "double"),
+            ],
+            key_cols=["vec_id"],
+            order_cols=["off"],
+        )
+        return self
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._cent_path)
+
+    def apply(self, batch: DataFrame) -> dict:
+        """Assign one arrival batch of (vec_id, embedding, off) rows to
+        cells and merge into postings (manifest-idempotent, same monotone
+        offset contract as IncrementalCurator.apply)."""
+        from sonic_etl_spark.operators import similarity as sim_ops
+
+        b = batch.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding"),
+            F.col("off").cast("long").alias("off"),
+        )
+        span = b.agg(
+            F.min("off").alias("lo"), F.max("off").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()
+        if span["n"] == 0:
+            return {"status": "no_data"}
+        assign = sim_ops.ivf_assign(
+            b.select("vec_id", "embedding"), centroids=self.centroids()
+        )
+        rows = assign.join(b.select("vec_id", "off"), "vec_id").select(
+            "vec_id", "off",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "centroid_cos",
+        )
+        res = self.postings.merge(
+            rows, [(0, int(span["lo"]), int(span["hi"]))]
+        )
+        return {"status": res["status"], "n_vectors": int(span["n"])}
+
+    def sync(
+        self,
+        src: TransactionalParquetTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        offset_col: str = "last_offset",
+    ) -> dict:
+        """Tail a source table's CDC-out stream (same frontier/redelivery
+        contract as IncrementalCurator.sync)."""
+        snap = src.latest()
+        if snap is None:
+            raise FileNotFoundError(f"source table {src.path} does not exist")
+        to_id = snap["snapshot_id"]
+        fp = os.path.join(self.path, "_src_frontier.json")
+        last = None
+        if os.path.exists(fp):
+            with open(fp) as f:
+                last = json.load(f)["snapshot_id"]
+        if last == to_id:
+            return {"status": "noop", "snapshot_id": to_id}
+        ch = src.read_changes(from_snapshot_id=last, to_snapshot_id=to_id)
+        res = self.apply(
+            ch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                F.col(offset_col).alias("off"),
+            )
+        )
+        tmp = fp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": to_id}, f)
+        os.rename(tmp, fp)
+        return {**res, "snapshot_id": to_id}
+
+    def cells(self) -> DataFrame:
+        """Current postings state: (vec_id, centroid_id, centroid_cos) —
+        one row per live vector, LWW-resolved."""
+        return self.postings.read().select(
+            "vec_id", "centroid_id", "centroid_cos"
+        )
+
+
 def curate_full(
     docs: DataFrame, min_words: int = 5, max_punct_ratio: float = 0.3
 ) -> DataFrame:

@@ -208,3 +208,69 @@ def test_stream_curate_matches_full_and_rebatched_redelivery(spark, tmp_path, fu
     )
     q2.awaitTermination()
     assert _verdict_map(cur.verdicts.read()) == before == full
+
+
+def test_incremental_ivf_matches_one_shot_assign(spark, tmp_path):
+    """IncrementalIvfIndex: 3-batch maintained postings == one-shot
+    ivf_assign with the same pinned quantizer; a re-written vector follows
+    its latest offset's cell; redelivery no-ops; sync tails a table."""
+    import random
+
+    from sonic_etl_spark.operators.incremental import IncrementalIvfIndex
+    from sonic_etl_spark.operators.similarity import ivf_assign, seed_centroids
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 100 + i) for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, off long"
+    )
+    cents = seed_centroids(emb, 16)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_buckets=4).create(cents)
+    for k in range(3):
+        res = idx.apply(emb.where(F.col("vec_id") % 3 == k))
+        assert res["status"] == "committed"
+    got = {r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+           for r in idx.cells().collect()}
+    want = {r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+            for r in ivf_assign(emb, centroids=cents).collect()}
+    assert got == want and len(got) == 120
+
+    # redelivery no-op
+    assert idx.apply(emb.where(F.col("vec_id") % 3 == 0))["status"] == "skipped"
+    # re-written vector (same id, higher offset, different embedding):
+    # LWW keeps the LATEST assignment
+    upd = spark.createDataFrame(
+        [(7, [1.0] + [0.0] * 7, 10_000)], "vec_id long, embedding array<double>, off long"
+    )
+    idx.apply(upd)
+    new_cell = ivf_assign(upd.select("vec_id", "embedding"), centroids=cents).first()
+    hit = [r for r in idx.cells().collect() if r["vec_id"] == 7]
+    assert len(hit) == 1 and hit[0]["centroid_id"] == new_cell["centroid_id"]
+
+
+def test_incremental_ivf_sync_frontier(spark, tmp_path):
+    from sonic_etl_spark.operators.incremental import IncrementalIvfIndex
+    from sonic_etl_spark.operators.similarity import seed_centroids
+    from sonic_etl_spark.sources.table import TransactionalParquetTable
+
+    src = TransactionalParquetTable(spark, str(tmp_path / "esrc"), n_buckets=4)
+    src.create(
+        [("vec_id", "bigint"), ("embedding", "array<double>"),
+         ("last_offset", "bigint")],
+        key_cols=["vec_id"], order_cols=["last_offset"],
+    )
+    rows = [(i, [float(i % 5), 1.0, 0.5], i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, last_offset long"
+    )
+    src.merge(df.where("vec_id < 16"), [(0, 0, 15)])
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf2"), n_buckets=4).create(
+        seed_centroids(src.read(), 8)
+    )
+    assert idx.sync(src)["status"] == "committed"
+    src.merge(df.where("vec_id >= 16"), [(0, 16, 39)])
+    assert idx.sync(src)["status"] == "committed"
+    assert idx.sync(src)["status"] == "noop"
+    assert idx.cells().count() == 40
