@@ -274,3 +274,47 @@ def test_incremental_ivf_sync_frontier(spark, tmp_path):
     assert idx.sync(src)["status"] == "committed"
     assert idx.sync(src)["status"] == "noop"
     assert idx.cells().count() == 40
+
+
+def test_incremental_random_corpora_and_batchings_converge(spark, tmp_path):
+    """Seeded fuzz of the order-independence claim: random corpora (heavy
+    exact/near dup rates, random arrival permutations, random batch cuts)
+    must make the incremental verdicts equal the global recompute — the
+    property the fixed corpus can't fully pin (rank ties, dup chains
+    crossing batch cuts, bucket collisions between batches)."""
+    import random
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        rows = []
+        base_texts = [
+            " ".join(rng.choices(words, k=12)) for _ in range(12)
+        ]
+        offs = rng.sample(range(1000, 9000), 40)
+        for i in range(40):
+            r = rng.random()
+            if r < 0.3:
+                text = base_texts[rng.randrange(len(base_texts))]  # exact dup pool
+            elif r < 0.5:
+                text = base_texts[rng.randrange(len(base_texts))] + " tail"
+            elif r < 0.6:
+                text = "x"  # quality fail
+            else:
+                text = " ".join(rng.choices(words, k=12))
+            rows.append((i, text, offs[i]))
+        rows.sort(key=lambda r: r[2])  # arrival order
+        cuts = sorted(rng.sample(range(1, 39), rng.randrange(2, 5)))
+        batches, prev = [], 0
+        for c in [*cuts, 40]:
+            batches.append(rows[prev:c])
+            prev = c
+        cur = IncrementalCurator(
+            spark, str(tmp_path / f"fz{trial}"), n_buckets=4
+        ).create()
+        for b in batches:
+            cur.apply(_df(spark, b))
+        got = _verdict_map(cur.verdicts.read())
+        want = _verdict_map(curate_full(_df(spark, rows)))
+        assert got == want, trial
