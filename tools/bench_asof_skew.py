@@ -27,11 +27,14 @@ import pyspark.sql.functions as F  # noqa: E402
 from sonic_etl_spark.operators.temporal import asof_join  # noqa: E402
 from sonic_etl_spark.session import get_spark  # noqa: E402
 
-N_LEFT = 2_000_000
+N_LEFT = int(os.environ.get("SPARK_GRAFT_ASOF_LEFT", "2000000"))
 N_RIGHT = 200_000
 SPAN_SEC = 1_000_000
 BUCKET_SEC = 3600.0
 ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+# 'backward' (default) or 'forward' — the r5 mirror prefix scan measures
+# in the same hot-key regime with the same equality-before-timing gate
+DIRECTION = os.environ.get("SPARK_GRAFT_ASOF_DIRECTION", "backward")
 
 
 def main() -> None:
@@ -62,21 +65,24 @@ def main() -> None:
     }
 
     # correctness first: both plans byte-identical on this workload
-    a = asof_join(left, right, on="k", left_ts="ts", right_cols=["rv"])
+    a = asof_join(left, right, on="k", left_ts="ts", right_cols=["rv"],
+                  direction=DIRECTION)
     b = asof_join(
         left, right, on="k", left_ts="ts", right_cols=["rv"],
-        bucket_sec=BUCKET_SEC,
+        direction=DIRECTION, bucket_sec=BUCKET_SEC,
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
-    out = {"metric": "asof_hotkey_2M_left_200k_right", "cpus": int(cpus),
+    out = {"metric": f"asof_hotkey_{DIRECTION}_left_{N_LEFT}_right_{N_RIGHT}",
+           "cpus": int(cpus), "direction": DIRECTION,
            "rows_left": N_LEFT, "rows_right": N_RIGHT, "plans": {}}
     for name, kw in plans.items():
         walls = []
         for _ in range(ATTEMPTS):
             t0 = time.time()
             n = asof_join(
-                left, right, on="k", left_ts="ts", right_cols=["rv"], **kw
+                left, right, on="k", left_ts="ts", right_cols=["rv"],
+                direction=DIRECTION, **kw
             ).where(F.col("rv").isNotNull()).count()
             walls.append(round(time.time() - t0, 2))
         out["plans"][name] = {"wall_sec": min(walls), "attempts": walls,
